@@ -1,0 +1,118 @@
+"""End-to-end solver tests on small netlib instances against the published
+golden optima (the reference's de-facto oracle, SURVEY.md section 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import vanderbei_tpu as vt
+from vanderbei_tpu.io import netlib
+from vanderbei_tpu.core.status import Status
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(netlib.netlib_dir()), reason="netlib corpus absent")
+
+SMALL = ["AFIRO", "SC50A", "SC50B", "ADLITTLE", "BLEND", "SHARE2B", "SC105"]
+METHODS = ["intpt", "hsd", "hsdls", "pd", "twophase"]
+
+
+@pytest.mark.parametrize("name", SMALL)
+@pytest.mark.parametrize("method", METHODS)
+def test_small_netlib(name, method):
+    lp = netlib.load(name)
+    sol = vt.solve(lp, method=method)
+    golden = netlib.golden_objective(name)
+    assert sol.status == int(Status.OPTIMAL), (
+        f"{name}/{method}: status {sol.status}")
+    rel = abs(sol.primal_obj - golden) / max(1.0, abs(golden))
+    assert rel < 1e-6, f"{name}/{method}: {sol.primal_obj} vs {golden}"
+
+
+@pytest.mark.parametrize("method", ["hsd", "pd", "twophase"])
+def test_padding_invariance(method):
+    """Padding to tile multiples must not change the answer."""
+    lp = netlib.load("AFIRO")
+    sol1 = vt.solve(lp, method=method, pad_to=1)
+    sol2 = vt.solve(lp, method=method, pad_to=64)
+    assert sol1.status == sol2.status == int(Status.OPTIMAL)
+    # padding legitimately perturbs the iterate path (extra benign
+    # rows/cols join mu); agreement is to the optimality tolerance
+    assert sol2.primal_obj == pytest.approx(sol1.primal_obj, rel=1e-6)
+
+
+def test_maximize_sense(tmp_path):
+    """MAX header flips the sense end-to-end."""
+    from tests.test_mps import row
+    text = "\n".join([
+        "MAX",
+        "NAME          M",
+        "ROWS",
+        row("N", "obj"),
+        row("L", "r1"),
+        "COLUMNS",
+        row("", "x", "obj", 1.0, "r1", 1.0),
+        row("", "y", "obj", 2.0, "r1", 1.0),
+        "RHS",
+        row("", "rhs", "r1", 4.0),
+        "ENDATA",
+    ]) + "\n"
+    p = tmp_path / "m.mps"
+    p.write_text(text)
+    lp = vt.read_mps(str(p))
+    sol = vt.solve(lp, method="hsd")
+    assert sol.status == int(Status.OPTIMAL)
+    assert sol.primal_obj == pytest.approx(8.0, abs=1e-6)
+
+
+def test_infeasible_detection():
+    """x >= 2 and x <= 1 is primal infeasible -> hsd certificate."""
+    from tests.test_canonicalize import make_lp
+    lp = make_lp([[1.0], [-1.0]], [2.0, -1.0], [1.0])
+    sol = vt.solve(lp, method="hsd")
+    assert sol.status == int(Status.PRIMAL_INFEASIBLE)
+
+
+def test_unbounded_detection():
+    """max x1+x2 s.t. x1 - x2 >= -1: recession direction (1,1).
+
+    The simplex certificate is exact (PRIMAL_UNBOUNDED).  The HSD
+    certificate near phi,psi -> 0 is a sign tie-break the reference itself
+    gets "wrong" on thin cases (its ipo binary reports "primal infeasible"
+    for max x, x>=1), so hsd is only asserted to land in the
+    infeasible/unbounded family, not OPTIMAL.
+    """
+    from tests.test_canonicalize import make_lp
+    lp = make_lp([[1.0, -1.0]], [-1.0], [1.0, 1.0], maximize=True)
+    sol = vt.solve(lp, method="hsd")
+    assert sol.status in (int(Status.DUAL_INFEASIBLE),
+                          int(Status.PRIMAL_INFEASIBLE),
+                          int(Status.PRIMAL_UNBOUNDED))
+    sol2 = vt.solve(lp, method="pd")
+    assert sol2.status == int(Status.PRIMAL_UNBOUNDED)
+
+
+def test_solution_vectors_feasible():
+    lp = netlib.load("AFIRO")
+    sol = vt.solve(lp, method="hsd")
+    A = lp.dense_A()
+    act = A @ sol.x
+    # b <= Ax <= b+r within tolerance
+    ok_lo = act >= lp.b - 1e-5 * (1 + np.abs(lp.b))
+    hi = np.where(np.isfinite(lp.r), lp.b + lp.r, np.inf)
+    ok_hi = act <= hi + 1e-5 * (1 + np.abs(lp.b))
+    assert ok_lo.all() and ok_hi.all()
+    assert (sol.x >= lp.l - 1e-6).all()
+
+
+def test_write_sol(tmp_path):
+    lp = netlib.load("AFIRO")
+    sol = vt.solve(lp, method="hsd")
+    out = tmp_path / "afiro.out"
+    vt.write_sol(lp, sol, str(out))
+    text = out.read_text()
+    assert "COLUMNS SECTION" in text
+    assert "ROWS SECTION" in text
+    assert text.rstrip().endswith("ENDOUT")
+    # one line per column and row
+    assert len(text.splitlines()) == 2 + lp.n + 2 + lp.m + 1

@@ -1,0 +1,62 @@
+"""Command-line driver.
+
+The analogue of the reference's main.c (src/common/main.c:16-58): read an
+MPS file, solve, print the status message, write `<name>.out` via the
+writesol-compatible writer.  Where the reference ships two binaries (simpo /
+ipo) with the algorithm fixed at link time, here `--method` selects from the
+runtime registry.
+
+    python -m vanderbei_tpu problem.mps --method hsd
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .core.config import SolverConfig
+from .core.status import status_message
+from .io.mps import read_mps
+from .io.writer import write_sol
+from .models.registry import solve, SOLVERS
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vanderbei_tpu")
+    p.add_argument("mps", nargs="+", help="MPS input file(s)")
+    p.add_argument("--method", default="hsd", choices=sorted(SOLVERS))
+    p.add_argument("--max-iter", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None, help="solution output path")
+    p.add_argument("--no-out", action="store_true")
+    p.add_argument("--verbose", type=int, default=1)
+    args = p.parse_args(argv)
+
+    banner = (
+        "\t+-------------------------------------------------+\n"
+        "\t   vanderbei_tpu : TPU-native LP framework          \n"
+        "\t+-------------------------------------------------+")
+    if args.verbose:
+        print(banner)
+
+    lp = read_mps(args.mps)
+    if args.verbose:
+        print(f"m = {lp.m},n = {lp.n},nz = {lp.nz}")
+
+    cfg = SolverConfig(method=args.method, max_iter=args.max_iter,
+                       seed=args.seed, verbose=args.verbose)
+    sol = solve(lp, method=args.method, config=cfg)
+    print(status_message(sol.status))
+    if args.verbose:
+        print(f"primal objective: {sol.primal_obj:.7e}")
+        print(f"dual   objective: {sol.dual_obj:.7e}")
+        print(f"iterations: {sol.iterations}   "
+              f"solve time: {sol.solve_time_s:.3f}s")
+    if not args.no_out:
+        out = args.out or (lp.name + ".out")
+        write_sol(lp, sol, out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

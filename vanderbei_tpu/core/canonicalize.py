@@ -1,0 +1,159 @@
+"""Standard-form canonicalization.
+
+Re-implements the algebra of the reference's solvelp (src/common/solve.c:28-258)
+as pure array transforms producing a *dense* canonical LP:
+
+    maximize  c'x + f~      s.t.  A~ x <= b~,   x >= 0
+
+built from the general form  opt c'x + f,  b <= Ax <= b+r,  l <= x <= u  by:
+
+1. reject l_j = -inf  ->  Status.DUAL_UNBOUNDED (3), exactly as the
+   reference does (solve.c:79-87 returns 3; the evaluate tables' "dual
+   unbounded" rows for free-variable netlib instances come from here).
+2. shift x <- x - l (solve.c:101-112): u -= l, b -= A l, f += c'l.
+3. every row becomes  -A_i x <= -b_i ; rows with finite range additionally
+   append  A_i x <= b_i + r_i  (solve.c:117-147; equality rows have r=0 so
+   they become an inequality pair).
+4. each finite upper bound appends a row  x_j <= u_j  (solve.c:152-174).
+5. min problems are negated to max (solve.c:202-205).
+
+The canonical row order matches the reference exactly: the m0 negated
+original rows, then the appended range rows (in original row order), then
+the upper-bound rows (in column order).  This makes y/w/b indexable the same
+way writesol indexes them.
+
+The dense matrix is materialized padded to TPU-tile multiples; `rows`/`cols`
+carry the true sizes and the padding is benign (zero rows with b=1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .lp import LP, INF
+from .status import Status
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+@dataclasses.dataclass
+class CanonLP:
+    """Dense canonical LP: maximize c'x + f s.t. Ax <= b, x >= 0 (padded)."""
+
+    A: np.ndarray            # (mp, np_) dense, rows/cols beyond (m, n) zero
+    b: np.ndarray            # (mp,)   padding rows get b = 1 (benign)
+    c: np.ndarray            # (np_,)  padding cols get c = 0
+    f: float
+    m: int                   # true canonical row count
+    n: int                   # true column count (== original n)
+    m0: int                  # original row count (pre range/ub expansion)
+    maximize: bool           # original problem sense
+    l: np.ndarray            # original lower bounds (n,) for the un-shift
+    range_rows: np.ndarray   # original row idx of each appended range row
+    ub_cols: np.ndarray      # column idx of each appended upper-bound row
+    status: int = int(Status.RUNNING)   # set when canonicalization aborts
+
+    @property
+    def mp(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def np_(self) -> int:
+        return self.A.shape[1]
+
+
+def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64) -> CanonLP:
+    """Build the dense canonical form (reference solvelp solve.c:28-205).
+
+    pad_to: round padded dims up to this multiple (use 8/128 for TPU tiles,
+    or a size-class bound for batching).
+    """
+    m, n = lp.m, lp.n
+    r = lp.r if lp.r is not None else np.zeros(m)
+    l = lp.l if lp.l is not None else np.zeros(n)
+    u = lp.u if lp.u is not None else np.full(n, INF)
+    b = np.array(lp.b, dtype=np.float64, copy=True)
+    c = np.array(lp.c, dtype=np.float64, copy=True)
+    f = float(lp.f)
+
+    A = lp.dense_A()
+
+    # 1. infinite lower bounds are not supported (solve.c:79-87 -> status 3)
+    if np.any(np.isneginf(l)):
+        return CanonLP(
+            A=np.zeros((0, n)), b=np.zeros(0), c=c, f=f, m=0, n=n, m0=m,
+            maximize=lp.maximize, l=np.where(np.isneginf(l), 0.0, l),
+            range_rows=np.zeros(0, np.int64), ub_cols=np.zeros(0, np.int64),
+            status=int(Status.DUAL_UNBOUNDED),
+        )
+
+    # 2. shift lower bounds to zero
+    u_shift = np.where(np.isfinite(u), u - l, u)
+    b = b - A @ l
+    f = f + float(c @ l)
+
+    # 3. all rows to "<=": negate originals; ranged rows append the upper side
+    range_rows = np.nonzero(np.isfinite(r))[0]
+    # 4. finite upper bounds append singleton rows
+    ub_cols = np.nonzero(np.isfinite(u_shift))[0]
+
+    m_canon = m + len(range_rows) + len(ub_cols)
+    mp = _round_up(max(m_canon, 1), pad_to)
+    npad = _round_up(max(n, 1), pad_to)
+
+    Ac = np.zeros((mp, npad), dtype=dtype)
+    bc = np.ones(mp, dtype=dtype)          # benign padding rows: 0'x <= 1
+    cc = np.zeros(npad, dtype=dtype)
+
+    Ac[:m, :n] = -A
+    bc[:m] = -b
+    Ac[m:m + len(range_rows), :n] = A[range_rows, :]
+    bc[m:m + len(range_rows)] = b[range_rows] + r[range_rows]
+    for k, j in enumerate(ub_cols):
+        Ac[m + len(range_rows) + k, j] = 1.0
+        bc[m + len(range_rows) + k] = u_shift[j]
+    bc[m_canon:] = 1.0
+
+    # 5. min -> max
+    sign = 1.0 if lp.maximize else -1.0
+    cc[:n] = sign * c
+    f = sign * f
+
+    return CanonLP(
+        A=Ac, b=bc, c=cc, f=f, m=m_canon, n=n, m0=m,
+        maximize=lp.maximize, l=np.asarray(l, dtype=np.float64),
+        range_rows=range_rows.astype(np.int64),
+        ub_cols=ub_cols.astype(np.int64),
+        status=int(Status.RUNNING),
+    )
+
+
+def recover_solution(canon: CanonLP, x, y, w, z):
+    """Map canonical-space solver output back to original coordinates.
+
+    Mirrors solvelp's postlude (solve.c:242-256): un-shift x by l and negate
+    duals for min problems.  Objectives are reported in the ORIGINAL sense:
+    the canonical (solver-view) objective c~'x~ + f~ is the negated original
+    objective for min problems — the value the reference's iteration logs and
+    evaluate/ tables print (hsd.c:206-208 prints primal_obj/phi + f) — so
+    primal_obj = sign * (c~'x~ + f~) with sign = -1 for min.
+
+    Returns (x, y, w, z, primal_obj, dual_obj, b_canon) with y/w/b_canon over
+    the canonical rows (the first m0 of which correspond, negated, to the
+    original rows — the space writesol reports in).
+    """
+    n, m = canon.n, canon.m
+    x_canon = np.asarray(x, dtype=np.float64)[:n]
+    y = np.asarray(y, dtype=np.float64)[:m]
+    w = np.asarray(w, dtype=np.float64)[:m]
+    z = np.asarray(z, dtype=np.float64)[:n]
+    sign = 1.0 if canon.maximize else -1.0
+    primal_obj = sign * (float(canon.c[:n] @ x_canon) + canon.f)
+    dual_obj = sign * (float(canon.b[:m] @ y) + canon.f)
+    x_out = x_canon + canon.l
+    y_out = y if canon.maximize else -y
+    return x_out, y_out, w, z, primal_obj, dual_obj, np.asarray(canon.b[:m])

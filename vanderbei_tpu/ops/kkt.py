@@ -1,0 +1,185 @@
+"""Dense reduced-KKT engine.
+
+The reference factors the quasi-definite augmented matrix
+K = [[-E, A], [A', D]] with a sparse LDL' (src/ipo/ldlt.c:189-200, where the
+internal transposed LP makes its documented K equal this one in our row/col
+naming), then solves with iterative refinement (ldlt.c:327-416).
+
+TPU-first redesign: instead of pointer-chasing sparse LDL', we reduce K to
+SPD *normal equations* and Cholesky-factor them on the MXU:
+
+    primal form (m <= n):  (E + A D^-1 A') dy = A D^-1 rx - ry
+                           dx = D^-1 (rx - A' dy)
+    dual   form (m >  n):  (D + Q + A' E^-1 A) dx = rx + A' E^-1 ry
+                           dy = E^-1 (A dx - ry)
+
+The primal-vs-dual choice mirrors the reference's ADA'-vs-A'DA fill
+heuristic (ldlt.c:687-717) but here is a static shape decision.  The
+epsdiag clamp mirrors ldlt.c:235-236; refinement stops at
+1e-10 * (max|rhs|+1) or when the residual stops halving (ldlt.c:411),
+reverting the last correction if it made things worse (ldlt.c:413-416).
+
+Q (quadratic objective) enters the dual form's n x n block exactly where the
+reference adds it to K's upper-left block (ldlt.c:253-257); with the primal
+form Q must be None (the reference's primal ordering likewise only pays off
+for LPs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve
+
+
+def use_primal_form(m: int, n: int, has_q: bool) -> bool:
+    return (m <= n) and not has_q
+
+
+def kkt_factor(A, E, D, epsdiag: float, Q=None):
+    """Cholesky-factor the reduced normal-equations matrix.
+
+    Returns the lower factor L (plus nothing else — the form is a static
+    function of A's shape).  E, D are clamped below by epsdiag like the
+    reference clamps K's diagonal (ldlt.c:235-236).
+
+    Near convergence the D/E spread makes M numerically indefinite; the
+    reference escalates its diagonal perturbation 10x when the factor
+    degenerates (ldlt.c:293-306).  Dense analogue: retry the Cholesky with a
+    geometrically growing Tikhonov term until the factor is NaN-free; the
+    iterative refinement in kkt_solve then corrects against the TRUE system.
+    """
+    m, n = A.shape
+    Ec = jnp.maximum(E, epsdiag)
+    Dc = jnp.maximum(D, epsdiag)
+    if use_primal_form(m, n, Q is not None):
+        M = (A / Dc[None, :]) @ A.T
+        M = M + jnp.diag(Ec)
+    else:
+        M = (A.T / Ec[None, :]) @ A
+        M = M + jnp.diag(Dc)
+        if Q is not None:
+            M = M + Q
+
+    scale = jnp.max(jnp.diagonal(M))
+    eye = jnp.eye(M.shape[0], dtype=M.dtype)
+    L0 = jnp.linalg.cholesky(M)
+
+    def bad(L):
+        return jnp.any(jnp.isnan(L) | jnp.isinf(L))
+
+    def cond(carry):
+        reg, L = carry
+        return bad(L) & (reg < 1.0e-4)
+
+    def body(carry):
+        reg, L = carry
+        new_reg = jnp.where(reg == 0.0, 1.0e-14, reg * 100.0)
+        return new_reg, jnp.linalg.cholesky(M + (new_reg * scale) * eye)
+
+    _, L = jax.lax.while_loop(cond, body, (jnp.zeros((), M.dtype), L0))
+    return L
+
+
+def _raw_solve(A, Ec, Dc, L, ry, rx, Q=None):
+    """One forward/backward pass: K [dy; dx] = [ry; rx] via the factor L."""
+    m, n = A.shape
+    if use_primal_form(m, n, Q is not None):
+        t = A @ (rx / Dc) - ry
+        dy = cho_solve((L, True), t)
+        dx = (rx - A.T @ dy) / Dc
+    else:
+        t = rx + A.T @ (ry / Ec)
+        dx = cho_solve((L, True), t)
+        dy = (A @ dx - ry) / Ec
+    return dy, dx
+
+
+def _augmented_qr_solve(A, E, D, rhs_y, rhs_x, Q=None):
+    """Exact fallback: QR solve of the full quasi-definite K.
+
+    The reference's factorization operates on the augmented K itself
+    (ldlt.c:189-200), which is what keeps it accurate when the E/D spread
+    reaches 1e13+ near convergence and any normal-equations reduction loses
+    the problem.  A dense Householder-QR solve of K is the TPU-safe dense
+    equivalent (TPU XLA has no f64 LU); it is O((m+n)^3) so kkt_solve only
+    reaches for it when the refined normal-equations residual is still poor.
+    """
+    from .linalg import qr_solve
+    m, n = A.shape
+    top = jnp.concatenate([-jnp.diag(E), A], axis=1)
+    lower_right = jnp.diag(D) if Q is None else jnp.diag(D) + Q
+    bot = jnp.concatenate([A.T, lower_right], axis=1)
+    K = jnp.concatenate([top, bot], axis=0)
+    sol = qr_solve(K, jnp.concatenate([rhs_y, rhs_x]))
+    return sol[:m], sol[m:]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "epsdiag", "refine_tol", "max_refine", "lu_fallback", "switch_tol"))
+def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
+              epsdiag: float = 1.0e-14,
+              refine_tol: float = 1.0e-10,
+              max_refine: int = 8,
+              lu_fallback: bool = True,
+              switch_tol: float = 1.0e-9):
+    """Solve [[-E, A], [A', D+Q]] [dy; dx] = [rhs_y; rhs_x] with refinement.
+
+    The residuals are evaluated against the TRUE (unclamped) E, D while the
+    factor uses the clamped ones, exactly like the reference's solve()
+    (ldlt.c:389-398 uses the caller's Dn/Dm; inv_num clamped the diagonal).
+    If after refinement the relative residual still exceeds switch_tol and
+    lu_fallback is enabled, re-solve via pivoted LU of the augmented system
+    (a lax.cond — the expensive branch only executes when triggered).
+    """
+    Ec = jnp.maximum(E, epsdiag)
+    Dc = jnp.maximum(D, epsdiag)
+
+    def residual(dy, dx):
+        r1 = rhs_y + E * dy - A @ dx
+        if Q is None:
+            r2 = rhs_x - A.T @ dy - D * dx
+        else:
+            r2 = rhs_x - A.T @ dy - D * dx - Q @ dx
+        return r1, r2
+
+    def max_resid(dy, dx):
+        r1, r2 = residual(dy, dx)
+        return jnp.maximum(jnp.max(jnp.abs(r1)), jnp.max(jnp.abs(r2)))
+
+    dy, dx = _raw_solve(A, Ec, Dc, L, rhs_y, rhs_x, Q)
+    maxbc = jnp.maximum(jnp.max(jnp.abs(rhs_y)), jnp.max(jnp.abs(rhs_x))) + 1.0
+    maxrs = max_resid(dy, dx)
+
+    def cond(carry):
+        dy, dx, ey, ex, maxrs, oldmaxrs, it = carry
+        return ((maxrs > refine_tol * maxbc)
+                & (maxrs < 0.5 * oldmaxrs)
+                & (it < max_refine))
+
+    def body(carry):
+        dy, dx, _, _, maxrs, _, it = carry
+        r1, r2 = residual(dy, dx)
+        ey, ex = _raw_solve(A, Ec, Dc, L, r1, r2, Q)
+        dy2, dx2 = dy + ey, dx + ex
+        return dy2, dx2, ey, ex, max_resid(dy2, dx2), maxrs, it + 1
+
+    init = (dy, dx, jnp.zeros_like(dy), jnp.zeros_like(dx),
+            maxrs, jnp.asarray(jnp.inf, maxrs.dtype), 0)
+    dy, dx, ey, ex, maxrs, oldmaxrs, it = jax.lax.while_loop(cond, body, init)
+
+    # revert the last correction if it made the residual worse (ldlt.c:413-416)
+    worse = (maxrs > oldmaxrs) & (it > 0)
+    dy = jnp.where(worse, dy - ey, dy)
+    dx = jnp.where(worse, dx - ex, dx)
+    maxrs = jnp.where(worse, oldmaxrs, maxrs)
+
+    if lu_fallback:
+        dy, dx = jax.lax.cond(
+            maxrs > switch_tol * maxbc,
+            lambda _: _augmented_qr_solve(A, E, D, rhs_y, rhs_x, Q),
+            lambda _: (dy, dx),
+            operand=None)
+    return dy, dx
