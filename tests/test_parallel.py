@@ -1,0 +1,71 @@
+"""Batching + mesh tests on the 8-virtual-device CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vanderbei_tpu.core.status import Status
+from vanderbei_tpu.io import netlib
+from vanderbei_tpu.parallel.batch import (
+    group_by_class, stack_class, solve_batch_hsd, shard_batch)
+from vanderbei_tpu.parallel.mesh import make_mesh
+import os
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(netlib.netlib_dir()), reason="netlib corpus absent")
+
+
+def test_devices_virtualized():
+    assert len(jax.devices()) == 8
+
+
+def test_group_and_stack():
+    lps = [netlib.load(n) for n in ("AFIRO", "SC50A", "SC50B")]
+    classes, aborted = group_by_class(lps, granularity=128)
+    assert not aborted
+    # all three fit one (128, 128) class
+    assert list(classes.keys()) == [(128, 128)]
+    entries = classes[(128, 128)]
+    A, b, c = stack_class(entries, 128, 128)
+    assert A.shape == (3, 128, 128)
+    # padding rows benign: b = 1 beyond canonical m
+    m0 = entries[0][1].m
+    np.testing.assert_allclose(b[0, m0:], 1.0)
+
+
+def test_batched_hsd_matches_golden():
+    names = ["AFIRO", "SC50A", "SC50B"]
+    lps = [netlib.load(n) for n in names]
+    classes, _ = group_by_class(lps, granularity=128)
+    entries = classes[(128, 128)]
+    A, b, c = stack_class(entries, 128, 128)
+    st, x, y, w, z, it = solve_batch_hsd(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c))
+    st = np.asarray(st)
+    assert (st == int(Status.OPTIMAL)).all(), st
+    for k, (idx, canon) in enumerate(entries):
+        obj_canon = float(np.asarray(c[k]) @ np.asarray(x[k])) + canon.f
+        sign = 1.0 if canon.maximize else -1.0
+        golden = netlib.golden_objective(names[idx])
+        assert abs(sign * obj_canon - golden) / max(1, abs(golden)) < 1e-6
+
+
+def test_sharded_batch_runs():
+    mesh = make_mesh(8, model_parallel=2)
+    B = 8
+    rng = np.random.default_rng(0)
+    m, n = 16, 32
+    A = rng.normal(size=(B, m, n))
+    x0 = rng.uniform(1, 2, size=(B, n))
+    b = np.einsum("bmn,bn->bm", A, x0) + 1.0
+    c = -rng.uniform(0.1, 1.0, size=(B, n))
+    A, b, c = shard_batch([A, b, c], mesh, model_axis_dims=(2, None, 1))
+    st, x, y, w, z, it = solve_batch_hsd(A, b, c, max_iter=50)
+    assert x.shape == (B, n)
+    assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)

@@ -31,6 +31,19 @@ from ..ops.kkt import kkt_factor, kkt_solve
 DEFAULT_MAX_ITER = 200      # hsd.c:25
 DEFAULT_MAX_ITER_LS = 600   # hsdls.c:25
 
+HSD_BANNER = (
+    "--------------------------------------------------------------------------\n"
+    "         |           Primal          |            Dual           |       |\n"
+    "  Iter   |  Obj Value       Infeas   |  Obj Value       Infeas   |  mu   |\n"
+    "- - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - ")
+
+
+def _trace_row(it, pobj, normr, dobj, norms, mu):
+    """Host-side printer for one iteration row (hsd.c:206-208 format)."""
+    print(f"{int(it):8d}   {float(pobj):14.7e}  {float(normr):8.1e}    "
+          f"{float(dobj):14.7e}  {float(norms):8.1e}  {float(mu):8.1e}",
+          flush=True)
+
 
 class HsdState(NamedTuple):
     x: jax.Array
@@ -66,39 +79,38 @@ def _hsd_linesearch(v, dv, s, ds, beta, delta, mu):
     return jnp.where(a == 0.0, lin, jnp.where(a > 0.0, pos_a, neg_a))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_iter", "eps", "step_factor", "long_step", "beta",
-                     "epsdiag", "refine_tol", "max_refine"),
-)
-def solve_canon(A, b, c, f, *,
-                max_iter: int = DEFAULT_MAX_ITER,
-                eps: float = 1.0e-12,
-                step_factor: float = 0.95,
-                long_step: bool = False,
-                beta: float = 0.80,
-                epsdiag: float = 1.0e-14,
-                refine_tol: float = 1.0e-10,
-                max_refine: int = 8):
-    """Solve max c'x, Ax <= b, x >= 0 via the HSD embedding.
-
-    Returns (status, x, y, w, z, iterations) with x,y,w,z de-homogenized.
-    """
+def init_state(A) -> HsdState:
+    """All-ones homogeneous start (hsd.c:98-109)."""
     m, n = A.shape
     dtype = A.dtype
     one = jnp.ones((), dtype)
-    x = jnp.ones((n,), dtype)                   # hsd.c:98-109: all-ones start
-    z = jnp.ones((n,), dtype)
-    y = jnp.ones((m,), dtype)
-    w = jnp.ones((m,), dtype)
+    return HsdState(jnp.ones((n,), dtype), jnp.ones((n,), dtype),
+                    jnp.ones((m,), dtype), jnp.ones((m,), dtype),
+                    one, one, jnp.asarray(0),
+                    jnp.asarray(int(Status.RUNNING)))
 
-    state = HsdState(x, z, y, w, one, one, jnp.asarray(0),
-                     jnp.asarray(int(Status.RUNNING)))
 
+def make_step(A, b, c, *,
+              eps: float = 1.0e-12,
+              step_factor: float = 0.95,
+              long_step: bool = False,
+              beta: float = 0.80,
+              epsdiag: float = 1.0e-14,
+              refine_tol: float = 1.0e-10,
+              max_refine: int = 8,
+              lu_fallback: bool = True,
+              trace: bool = False,
+              f: float = 0.0):
+    """Build the single-iteration step function state -> state.
+
+    This is the framework's flagship 'forward step': one KKT factorization,
+    two solves, the dphi combination, the ratio test/linesearch, and the
+    update — everything inside one jit-compatible function, reusable by the
+    while_loop driver, vmapped batching, and the mesh dry-run.
+    """
+    m, n = A.shape
+    dtype = A.dtype
     ls_delta = 2.0 * (1.0 - beta)               # hsdls.c:113
-
-    def cond(s: HsdState):
-        return (s.status == int(Status.RUNNING)) & (s.iter < max_iter)
 
     def body(s: HsdState):
         x, z, y, w, phi, psi = s.x, s.z, s.y, s.w, s.phi, s.psi
@@ -126,11 +138,21 @@ def solve_canon(A, b, c, f, *,
                                 fallback)))
         new_status = jnp.where(converged, final, int(Status.RUNNING))
 
+        # infeasibilities (hsd.c:182-198); computed before stepping, in the
+        # reference's order, so the trace row matches its table
+        rho = A @ x - b * phi + w
+        sigma = -(A.T @ y) + c * phi + z
+
+        if trace:
+            normr = jnp.sqrt(rho @ rho) / phi
+            norms = jnp.sqrt(sigma @ sigma) / phi
+            jax.debug.callback(
+                _trace_row, s.iter, primal_obj / phi + f, normr,
+                dual_obj / phi + f, norms, mu)
+
         def step(_):
-            # infeasibilities folded into the Newton rhs (hsd.c:182-200)
-            rho = A @ x - b * phi + w
+            # Newton rhs folding (hsd.c:188-200)
             rho_rhs = -(1.0 - delta) * rho + w - delta * mu / y
-            sigma = -(A.T @ y) + c * phi + z
             sigma_rhs = -(1.0 - delta) * sigma + z - delta * mu / x
             gamma = (-(1.0 - delta) * (dual_obj - primal_obj + psi)
                      + psi - delta * mu / phi)
@@ -140,10 +162,10 @@ def solve_canon(A, b, c, f, *,
             L = kkt_factor(A, E, D, epsdiag)
             fy, fx = kkt_solve(A, E, D, L, rho_rhs, -sigma_rhs,
                                epsdiag=epsdiag, refine_tol=refine_tol,
-                               max_refine=max_refine)
+                               max_refine=max_refine, lu_fallback=lu_fallback)
             gy, gx = kkt_solve(A, E, D, L, -b, -c,
                                epsdiag=epsdiag, refine_tol=refine_tol,
-                               max_refine=max_refine)
+                               max_refine=max_refine, lu_fallback=lu_fallback)
 
             dphi = ((c @ fx - b @ fy + gamma)
                     / (c @ gx - b @ gy - psi / phi))   # hsd.c:230-231
@@ -181,7 +203,39 @@ def solve_canon(A, b, c, f, *,
 
         return HsdState(x2, z2, y2, w2, phi2, psi2, s.iter + 1, new_status)
 
-    out = jax.lax.while_loop(cond, body, state)
+    return body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "eps", "step_factor", "long_step", "beta",
+                     "epsdiag", "refine_tol", "max_refine", "lu_fallback",
+                     "trace"),
+)
+def solve_canon(A, b, c, f, *,
+                max_iter: int = DEFAULT_MAX_ITER,
+                eps: float = 1.0e-12,
+                step_factor: float = 0.95,
+                long_step: bool = False,
+                beta: float = 0.80,
+                epsdiag: float = 1.0e-14,
+                refine_tol: float = 1.0e-10,
+                max_refine: int = 8,
+                lu_fallback: bool = True,
+                trace: bool = False):
+    """Solve max c'x, Ax <= b, x >= 0 via the HSD embedding.
+
+    Returns (status, x, y, w, z, iterations) with x,y,w,z de-homogenized.
+    """
+    body = make_step(A, b, c, eps=eps, step_factor=step_factor,
+                     long_step=long_step, beta=beta, epsdiag=epsdiag,
+                     refine_tol=refine_tol, max_refine=max_refine,
+                     lu_fallback=lu_fallback, trace=trace, f=f)
+
+    def cond(s: HsdState):
+        return (s.status == int(Status.RUNNING)) & (s.iter < max_iter)
+
+    out = jax.lax.while_loop(cond, body, init_state(A))
     status = jnp.where(out.status == int(Status.RUNNING),
                        int(Status.ITERATION_LIMIT), out.status)
     # de-homogenize (hsd.c:277-284)

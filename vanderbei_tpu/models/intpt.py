@@ -23,6 +23,18 @@ from ..ops.kkt import kkt_factor, kkt_solve
 
 DEFAULT_MAX_ITER = 200      # intpt.c:31
 
+INTPT_BANNER = (
+    "------------------------------------------------------------------\n"
+    "         |           Primal          |            Dual           |\n"
+    "  Iter   |  Obj Value       Infeas   |  Obj Value       Infeas   |\n"
+    "- - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - ")
+
+
+def _trace_row(it, pobj, normr, dobj, norms):
+    """Host-side printer for one iteration row (intpt.c:163-164 format)."""
+    print(f"{int(it):8d}   {float(pobj):14.7e}  {float(normr):8.1e}    "
+          f"{float(dobj):14.7e}  {float(norms):8.1e} ", flush=True)
+
 
 class IntptState(NamedTuple):
     x: jax.Array
@@ -46,7 +58,7 @@ def _ratio_step(x, dx, z, dz, y, dy, w, dw, r):
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "eps", "delta", "step_factor", "epsdiag",
-                     "refine_tol", "max_refine"),
+                     "refine_tol", "max_refine", "trace"),
 )
 def solve_canon(A, b, c, f, *,
                 max_iter: int = DEFAULT_MAX_ITER,
@@ -55,7 +67,8 @@ def solve_canon(A, b, c, f, *,
                 step_factor: float = 0.9,
                 epsdiag: float = 1.0e-14,
                 refine_tol: float = 1.0e-10,
-                max_refine: int = 8):
+                max_refine: int = 8,
+                trace: bool = False):
     """Solve max c'x, Ax <= b, x >= 0 (dense canonical, padding-benign).
 
     Returns (status, x, y, w, z, iterations).
@@ -82,6 +95,10 @@ def solve_canon(A, b, c, f, *,
         sigma = c - A.T @ y + z              # dual infeasibility
         norms = jnp.sqrt(sigma @ sigma)
         gamma = z @ x + y @ w                # duality gap
+
+        if trace:
+            jax.debug.callback(_trace_row, s.iter, c @ x + f, normr,
+                               b @ y + f, norms)
 
         optimal = (normr < eps) & (norms < eps) & (gamma < eps)
         # divergence-based detection the reference itself marks "(unreliable)"

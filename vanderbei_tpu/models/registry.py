@@ -29,24 +29,30 @@ from . import simplex as _simplex
 
 def _solve_intpt(canon: CanonLP, cfg: SolverConfig):
     max_iter = cfg.max_iter or _intpt.DEFAULT_MAX_ITER
+    trace = cfg.verbose >= 2
+    if trace:
+        print(_intpt.INTPT_BANNER, flush=True)
     A = jnp.asarray(canon.A, cfg.dtype)
     return _intpt.solve_canon(
         A, jnp.asarray(canon.b, cfg.dtype), jnp.asarray(canon.c, cfg.dtype),
         canon.f, max_iter=max_iter, eps=cfg.ipm_eps, delta=cfg.delta,
         step_factor=cfg.step_factor, epsdiag=cfg.epsdiag,
-        refine_tol=cfg.refine_tol, max_refine=cfg.max_refine)
+        refine_tol=cfg.refine_tol, max_refine=cfg.max_refine, trace=trace)
 
 
 def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
     max_iter = cfg.max_iter or (
         _hsd.DEFAULT_MAX_ITER_LS if long_step else _hsd.DEFAULT_MAX_ITER)
+    trace = cfg.verbose >= 2
+    if trace:
+        print(_hsd.HSD_BANNER, flush=True)
     A = jnp.asarray(canon.A, cfg.dtype)
     return _hsd.solve_canon(
         A, jnp.asarray(canon.b, cfg.dtype), jnp.asarray(canon.c, cfg.dtype),
         canon.f, max_iter=max_iter, eps=cfg.hsd_eps,
         step_factor=cfg.hsd_step_factor, long_step=long_step, beta=cfg.beta,
         epsdiag=cfg.epsdiag, refine_tol=cfg.refine_tol,
-        max_refine=cfg.max_refine)
+        max_refine=cfg.max_refine, trace=trace)
 
 
 def _solve_pd(canon: CanonLP, cfg: SolverConfig):

@@ -41,6 +41,17 @@ EPS1 = 1.0e-8       # pivot eligibility (pd.c:39)
 EPS2 = 1.0e-12      # perturbation positivity floor (pd.c:40)
 EPS3 = 1.0e-10      # mu optimality cutoff (pd.c:41)
 
+SIMPLEX_BANNER = (
+    "---------------------------------------------------------------------------\n"
+    "          |   Primal      |        |\n"
+    "  Iter    |  Obj Value    |   mu   |\n"
+    "- - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - - -")
+
+
+def _trace_row(it, obj, mu):
+    """Host printer for one pivot row (pd.c:417-418 format)."""
+    print(f"{int(it):8d}   {float(obj):14.7e} {float(mu):9.2e}", flush=True)
+
 
 class PdState(NamedTuple):
     Binv: jax.Array          # (m, m) explicit basis inverse
@@ -101,8 +112,10 @@ def _maybe_refresh(Afull, Binv, basics, it, every):
 # parametric self-dual (pd.c)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "refresh_every"))
-def _pd_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int):
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "refresh_every", "trace"))
+def _pd_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int,
+             trace: bool = False):
     m, N = Afull.shape
     n = N - m
     dtype = Afull.dtype
@@ -133,6 +146,15 @@ def _pd_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int):
         return (s.status == int(Status.RUNNING)) & (s.iter < max_iter)
 
     def body(s: PdState):
+        if trace:
+            obj = jnp.take(c, s.basics) @ s.x_B
+            mu_t = jnp.maximum(
+                jnp.max(jnp.where(s.ybar_N > EPS2,
+                                  -s.y_N / s.ybar_N, neg_inf)),
+                jnp.max(jnp.where(s.xbar_B > EPS2,
+                                  -s.x_B / s.xbar_B, neg_inf)))
+            jax.debug.callback(_trace_row, s.iter, obj, mu_t)
+
         # STEP 1: largest mu forcing a pivot (pd.c:224-247)
         cand_d = jnp.where(s.ybar_N > EPS2, -s.y_N / s.ybar_N, neg_inf)
         jd = jnp.argmax(cand_d)
@@ -256,8 +278,10 @@ def _tp_pivot(Afull, s: TpState, col_in, col_out, dy_N, dx_B, refresh_every):
                    s.done)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "refresh_every"))
-def _twophase_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int):
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "refresh_every", "trace"))
+def _twophase_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int,
+                   trace: bool = False):
     m, N = Afull.shape
     n = N - m
     dtype = Afull.dtype
@@ -281,6 +305,10 @@ def _twophase_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int):
                 & (s.iter < max_iter))
 
     def phase1_body(s: TpState):
+        if trace:
+            jax.debug.callback(_trace_row, s.iter,
+                               jnp.take(c, s.basics) @ s.x_B, jnp.nan)
+
         # STEP 1: most negative basic primal (pick_neg, 2phase.c:616-629)
         col_out = jnp.argmin(s.x_B)
         no_neg = s.x_B[col_out] >= -EPS2
@@ -323,6 +351,10 @@ def _twophase_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int):
         to_phase2, lambda s: s, s1)
 
     def phase2_body(s: TpState):
+        if trace:
+            jax.debug.callback(_trace_row, s.iter,
+                               jnp.take(c, s.basics) @ s.x_B, jnp.nan)
+
         # STEP 1: most negative nonbasic dual (2phase.c:370)
         col_in = jnp.argmin(s.y_N)
         no_neg = s.y_N[col_in] >= -EPS2
@@ -379,12 +411,20 @@ def _prepare(canon, cfg: SolverConfig):
 def solve_canon_pd(canon, cfg: SolverConfig):
     Afull, b, c, key = _prepare(canon, cfg)
     max_iter = cfg.max_iter or cfg.simplex_max_iter
+    trace = cfg.verbose >= 2
+    if trace:
+        print(SIMPLEX_BANNER, flush=True)
     return _pd_loop(Afull, b, c[: Afull.shape[1]], key,
-                    max_iter=max_iter, refresh_every=cfg.refresh_every)
+                    max_iter=max_iter, refresh_every=cfg.refresh_every,
+                    trace=trace)
 
 
 def solve_canon_twophase(canon, cfg: SolverConfig):
     Afull, b, c, key = _prepare(canon, cfg)
     max_iter = cfg.max_iter or cfg.simplex_max_iter
+    trace = cfg.verbose >= 2
+    if trace:
+        print(SIMPLEX_BANNER, flush=True)
     return _twophase_loop(Afull, b, c[: Afull.shape[1]], key,
-                          max_iter=max_iter, refresh_every=cfg.refresh_every)
+                          max_iter=max_iter, refresh_every=cfg.refresh_every,
+                          trace=trace)

@@ -1,0 +1,116 @@
+"""Instance batching: vmapped solves over padded size classes.
+
+The netlib corpus spans 28..16k rows; batching requires a common padded
+shape.  Problems are grouped into size classes (padded-dim buckets), each
+class canonicalized with benign padding (core/canonicalize.py) and solved by
+ONE vmapped, jitted while_loop — divergent per-instance iteration counts are
+handled by the solvers' status masking (a converged lane no-ops its
+updates), the run-to-fixpoint pattern from SURVEY.md section 7 hard part #3.
+
+With a mesh, the stacked batch is sharded over the "batch" axis
+(data parallelism over instances); A's column dim may additionally shard
+over "model".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.canonicalize import canonicalize, CanonLP
+from ..core.config import SolverConfig
+from ..core.status import Status
+from ..models import hsd as _hsd
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((max(x, 1) + mult - 1) // mult) * mult
+
+
+def size_class(canon_m: int, n: int, granularity: int = 128) -> tuple:
+    """Bucket key: dims rounded up to the granularity."""
+    return (_round_up(canon_m, granularity), _round_up(n, granularity))
+
+
+def group_by_class(lps, granularity: int = 128):
+    """Canonicalize each LP and bucket by padded shape.
+
+    Returns {(mp, np): [(index, CanonLP), ...]} over the input order; LPs
+    whose canonicalization aborts (free variables) are returned separately
+    as [(index, status)].
+    """
+    classes: dict = {}
+    aborted = []
+    canons = []
+    for idx, lp in enumerate(lps):
+        canon = canonicalize(lp, pad_to=1)
+        if canon.status != int(Status.RUNNING):
+            aborted.append((idx, canon.status))
+            continue
+        key = size_class(canon.m, canon.n, granularity)
+        classes.setdefault(key, []).append((idx, canon))
+        canons.append(canon)
+    return classes, aborted
+
+
+def stack_class(entries, mp: int, np_: int, dtype=np.float64):
+    """Stack a size class's canonical problems into (B, mp, np_) arrays."""
+    B = len(entries)
+    A = np.zeros((B, mp, np_), dtype=dtype)
+    b = np.ones((B, mp), dtype=dtype)
+    c = np.zeros((B, np_), dtype=dtype)
+    for k, (_, canon) in enumerate(entries):
+        m, n = canon.m, canon.n
+        A[k, :m, :n] = canon.A[:m, :n]
+        b[k, :m] = canon.b[:m]
+        c[k, :n] = canon.c[:n]
+    return A, b, c
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "eps", "step_factor", "long_step", "beta",
+                     "epsdiag", "refine_tol", "max_refine"),
+)
+def solve_batch_hsd(A, b, c, *,
+                    max_iter: int = 200,
+                    eps: float = 1.0e-12,
+                    step_factor: float = 0.95,
+                    long_step: bool = False,
+                    beta: float = 0.80,
+                    epsdiag: float = 1.0e-14,
+                    refine_tol: float = 1.0e-10,
+                    max_refine: int = 4):
+    """vmapped HSD over a stacked class (B, mp, np_).
+
+    lu_fallback is disabled: under vmap, lax.cond lowers to a select that
+    would execute the O((m+n)^3) fallback for every lane every iteration;
+    the regularized Cholesky + refinement path carries the batch.
+    """
+    solver = functools.partial(
+        _hsd.solve_canon, max_iter=max_iter, eps=eps,
+        step_factor=step_factor, long_step=long_step, beta=beta,
+        epsdiag=epsdiag, refine_tol=refine_tol, max_refine=max_refine,
+        lu_fallback=False)
+    return jax.vmap(lambda Ai, bi, ci: solver(Ai, bi, ci, 0.0))(A, b, c)
+
+
+def shard_batch(arrays, mesh, model_axis_dims=()):
+    """Place stacked (B, ...) arrays on the mesh, batch-sharded.
+
+    model_axis_dims: per-array tuple position (or None) to additionally
+    shard over "model" — e.g. A's column dim.
+    """
+    out = []
+    for i, arr in enumerate(arrays):
+        spec = [None] * arr.ndim
+        spec[0] = "batch"
+        if i < len(model_axis_dims) and model_axis_dims[i] is not None:
+            spec[model_axis_dims[i]] = "model"
+        sharding = NamedSharding(mesh, P(*spec))
+        out.append(jax.device_put(jnp.asarray(arr), sharding))
+    return out
