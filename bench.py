@@ -126,47 +126,64 @@ def main():
                           "error": "no problems available"}))
         return
 
-    # group into padded classes so each class compiles once
+    # group into padded classes; each class is solved as ONE vmapped,
+    # jitted while_loop (the TPU-first instance-batched sweep)
     classes = {}
     for name, lp, canon in problems:
         key = (_round_up(canon.m, CLASS_GRAN), _round_up(canon.n, CLASS_GRAN))
         classes.setdefault(key, []).append((name, lp, canon))
 
-    def solve_one(canon, mp, np_):
-        A = np.zeros((mp, np_))
-        b = np.ones(mp)
-        c = np.zeros(np_)
-        A[:canon.m, :canon.n] = canon.A[:canon.m, :canon.n]
-        b[:canon.m] = canon.b[:canon.m]
-        c[:canon.n] = canon.c[:canon.n]
-        st, x, y, w, z, it = hsd.solve_canon(
-            jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), 0.0)
-        return int(st), float(jnp.asarray(c) @ x), int(it)
+    from vanderbei_tpu.parallel.batch import solve_batch_hsd
+
+    def stack(entries, mp, np_):
+        B = len(entries)
+        A = np.zeros((B, mp, np_))
+        b = np.ones((B, mp))
+        c = np.zeros((B, np_))
+        for k, (_, _, canon) in enumerate(entries):
+            A[k, :canon.m, :canon.n] = canon.A[:canon.m, :canon.n]
+            b[k, :canon.m] = canon.b[:canon.m]
+            c[k, :canon.n] = canon.c[:canon.n]
+        return jnp.asarray(A), jnp.asarray(b), jnp.asarray(c)
+
+    stacked = {k: stack(v, *k) for k, v in classes.items()}
+
+    def sweep_once():
+        out = {}
+        for key, (A, b, c) in stacked.items():
+            st, x, y, w, z, it = solve_batch_hsd(A, b, c)
+            out[key] = (st, x, it)
+        # block on everything
+        for key in out:
+            jax.block_until_ready(out[key][1])
+        return out
 
     # warmup: one compile per class
     t_compile0 = time.perf_counter()
-    for (mp, np_), entries in classes.items():
-        solve_one(entries[0][2], mp, np_)
+    sweep_once()
     compile_s = time.perf_counter() - t_compile0
 
     # timed sweep (steady state)
     t0 = time.perf_counter()
+    results = sweep_once()
+    elapsed = time.perf_counter() - t0
+    ppm = 60.0 * len(problems) / elapsed
+
     solved = 0
     correct = 0
-    statuses = {}
-    for (mp, np_), entries in classes.items():
-        for name, lp, canon in entries:
-            st, obj_canon, it = solve_one(canon, mp, np_)
-            statuses[name] = st
-            if st == int(Status.OPTIMAL):
+    for key, entries in classes.items():
+        st, x, it = results[key]
+        A, b, cc = stacked[key]
+        st = np.asarray(st)
+        for k, (name, _, canon) in enumerate(entries):
+            if st[k] == int(Status.OPTIMAL):
                 solved += 1
                 sign = 1.0 if canon.maximize else -1.0
-                obj = sign * (obj_canon + canon.f)
+                obj = sign * (float(np.asarray(cc[k]) @ np.asarray(x[k]))
+                              + canon.f)
                 golden = netlib.golden_objective(name)
                 if abs(obj - golden) / max(1.0, abs(golden)) < 1e-6:
                     correct += 1
-    elapsed = time.perf_counter() - t0
-    ppm = 60.0 * len(problems) / elapsed
 
     # baseline: reference C single-core on the same set
     vs_baseline = 0.0

@@ -116,3 +116,19 @@ def test_write_sol(tmp_path):
     assert text.rstrip().endswith("ENDOUT")
     # one line per column and row
     assert len(text.splitlines()) == 2 + lp.n + 2 + lp.m + 1
+
+
+@pytest.mark.parametrize("name", ["CAPRI", "VTP.BASE"])
+def test_free_variable_split(name):
+    """Instances the reference rejects with "dual unbounded" (free
+    variables, solve.c:79-87) solve to the golden optimum with
+    free_vars="split"."""
+    from vanderbei_tpu.core.config import SolverConfig
+    lp = netlib.load(name)
+    rej = vt.solve(lp, method="hsd")
+    assert rej.status == int(Status.DUAL_UNBOUNDED)   # reference parity
+    sol = vt.solve(lp, method="hsd",
+                   config=SolverConfig(free_vars="split"))
+    golden = netlib.golden_objective(name)
+    assert sol.status == int(Status.OPTIMAL)
+    assert abs(sol.primal_obj - golden) / max(1, abs(golden)) < 1e-6

@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help="solution output path")
     p.add_argument("--no-out", action="store_true")
     p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--free-vars", default="reject",
+                   choices=("reject", "split"),
+                   help="free (l=-inf) variables: 'reject' matches the "
+                        "reference (status 3); 'split' solves them")
     args = p.parse_args(argv)
 
     banner = (
@@ -44,7 +48,8 @@ def main(argv=None) -> int:
         print(f"m = {lp.m},n = {lp.n},nz = {lp.nz}")
 
     cfg = SolverConfig(method=args.method, max_iter=args.max_iter,
-                       seed=args.seed, verbose=args.verbose)
+                       seed=args.seed, verbose=args.verbose,
+                       free_vars=args.free_vars)
     sol = solve(lp, method=args.method, config=cfg)
     print(status_message(sol.status))
     if args.verbose:

@@ -49,13 +49,17 @@ class CanonLP:
     c: np.ndarray            # (np_,)  padding cols get c = 0
     f: float
     m: int                   # true canonical row count
-    n: int                   # true column count (== original n)
+    n: int                   # true column count (n_orig + split mirrors)
     m0: int                  # original row count (pre range/ub expansion)
     maximize: bool           # original problem sense
-    l: np.ndarray            # original lower bounds (n,) for the un-shift
+    l: np.ndarray            # original lower bounds (n_orig,) for un-shift
     range_rows: np.ndarray   # original row idx of each appended range row
     ub_cols: np.ndarray      # column idx of each appended upper-bound row
     status: int = int(Status.RUNNING)   # set when canonicalization aborts
+    # free-variable splitting (free_vars="split"): column j in free_cols has
+    # a mirror at n_orig + k carrying -A_j, -c_j; x_j = x+_j - x-_k
+    n_orig: int = 0
+    free_cols: np.ndarray = None
 
     @property
     def mp(self) -> int:
@@ -66,30 +70,42 @@ class CanonLP:
         return self.A.shape[1]
 
 
-def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64) -> CanonLP:
+def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
+                 free_vars: str = "reject") -> CanonLP:
     """Build the dense canonical form (reference solvelp solve.c:28-205).
 
     pad_to: round padded dims up to this multiple (use 8/128 for TPU tiles,
     or a size-class bound for batching).
+
+    free_vars: what to do with l_j = -inf columns.
+      "reject" — the reference's behavior (solve.c:79-87 returns status 3,
+                 which is why the evaluate tables show "dual unbounded" for
+                 the free-variable netlib instances);
+      "split"  — x_j = x+ - x-: append a mirrored column with -A_j, -c_j,
+                 making those instances actually solvable.
     """
     m, n = lp.m, lp.n
     r = lp.r if lp.r is not None else np.zeros(m)
-    l = lp.l if lp.l is not None else np.zeros(n)
-    u = lp.u if lp.u is not None else np.full(n, INF)
+    l = np.array(lp.l if lp.l is not None else np.zeros(n), dtype=np.float64)
+    u = np.array(lp.u if lp.u is not None else np.full(n, INF),
+                 dtype=np.float64)
     b = np.array(lp.b, dtype=np.float64, copy=True)
     c = np.array(lp.c, dtype=np.float64, copy=True)
     f = float(lp.f)
 
     A = lp.dense_A()
 
-    # 1. infinite lower bounds are not supported (solve.c:79-87 -> status 3)
-    if np.any(np.isneginf(l)):
+    # 1. infinite lower bounds (solve.c:79-87 -> status 3) or split
+    free_cols = np.nonzero(np.isneginf(l))[0]
+    if len(free_cols) and free_vars == "reject":
         return CanonLP(
             A=np.zeros((0, n)), b=np.zeros(0), c=c, f=f, m=0, n=n, m0=m,
             maximize=lp.maximize, l=np.where(np.isneginf(l), 0.0, l),
             range_rows=np.zeros(0, np.int64), ub_cols=np.zeros(0, np.int64),
-            status=int(Status.DUAL_UNBOUNDED),
+            status=int(Status.DUAL_UNBOUNDED), n_orig=n,
+            free_cols=np.zeros(0, np.int64),
         )
+    l = np.where(np.isneginf(l), 0.0, l)        # split columns shift by 0
 
     # 2. shift lower bounds to zero
     u_shift = np.where(np.isfinite(u), u - l, u)
@@ -101,9 +117,10 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64) -> CanonLP:
     # 4. finite upper bounds append singleton rows
     ub_cols = np.nonzero(np.isfinite(u_shift))[0]
 
+    n_ext = n + len(free_cols)
     m_canon = m + len(range_rows) + len(ub_cols)
     mp = _round_up(max(m_canon, 1), pad_to)
-    npad = _round_up(max(n, 1), pad_to)
+    npad = _round_up(max(n_ext, 1), pad_to)
 
     Ac = np.zeros((mp, npad), dtype=dtype)
     bc = np.ones(mp, dtype=dtype)          # benign padding rows: 0'x <= 1
@@ -123,12 +140,20 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64) -> CanonLP:
     cc[:n] = sign * c
     f = sign * f
 
+    # 6. mirrored columns for split free variables: -A_j, -c_j, and -1 in
+    # any upper-bound row of the original (bound applies to x+ - x-)
+    for k, j in enumerate(free_cols):
+        jm = n + k
+        Ac[:m_canon, jm] = -Ac[:m_canon, j]
+        cc[jm] = -cc[j]
+
     return CanonLP(
-        A=Ac, b=bc, c=cc, f=f, m=m_canon, n=n, m0=m,
-        maximize=lp.maximize, l=np.asarray(l, dtype=np.float64),
+        A=Ac, b=bc, c=cc, f=f, m=m_canon, n=n_ext, m0=m,
+        maximize=lp.maximize, l=l,
         range_rows=range_rows.astype(np.int64),
         ub_cols=ub_cols.astype(np.int64),
-        status=int(Status.RUNNING),
+        status=int(Status.RUNNING), n_orig=n,
+        free_cols=free_cols.astype(np.int64),
     )
 
 
@@ -154,6 +179,14 @@ def recover_solution(canon: CanonLP, x, y, w, z):
     sign = 1.0 if canon.maximize else -1.0
     primal_obj = sign * (float(canon.c[:n] @ x_canon) + canon.f)
     dual_obj = sign * (float(canon.b[:m] @ y) + canon.f)
-    x_out = x_canon + canon.l
+    # fold split free-variable mirrors back: x_j = x+ - x-
+    n0 = canon.n_orig or n
+    x_base = x_canon[:n0].copy()
+    z_base = z[:n0].copy()
+    if canon.free_cols is not None and len(canon.free_cols):
+        nf = len(canon.free_cols)
+        x_base[canon.free_cols] -= x_canon[n0:n0 + nf]
+        z_base[canon.free_cols] -= z[n0:n0 + nf]
+    x_out = x_base + canon.l
     y_out = y if canon.maximize else -y
-    return x_out, y_out, w, z, primal_obj, dual_obj, np.asarray(canon.b[:m])
+    return x_out, y_out, w, z_base, primal_obj, dual_obj, np.asarray(canon.b[:m])

@@ -45,6 +45,10 @@ class SolverConfig:
     seed: int = 0                   # jax.random key for perturbations
                                     # (replaces drand48, pd.c:193-200)
     dtype: np.dtype = np.float64
+    # free (l = -inf) variables: "reject" = reference parity (solve.c:79-87
+    # returns status 3); "split" = x+ - x- column splitting, which actually
+    # solves the netlib instances the reference gives up on
+    free_vars: str = "reject"
 
     def with_(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

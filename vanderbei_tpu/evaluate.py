@@ -121,9 +121,14 @@ def main(argv=None) -> int:
     p.add_argument("--max-rows", type=int, default=2000)
     p.add_argument("--max-cols", type=int, default=2000)
     p.add_argument("--names", nargs="*", default=None)
+    p.add_argument("--free-vars", default="split",
+                   choices=("split", "reject"),
+                   help="'split' solves the free-variable instances the "
+                        "reference rejects; 'reject' is reference parity")
     args = p.parse_args(argv)
     run_sweep(method=args.method, out_dir=args.out, max_rows=args.max_rows,
-              max_cols=args.max_cols, names=args.names)
+              max_cols=args.max_cols, names=args.names,
+              config=SolverConfig(free_vars=args.free_vars))
     return 0
 
 

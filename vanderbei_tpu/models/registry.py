@@ -85,7 +85,8 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
     """Canonicalize and solve an LP; the analogue of solvelp (solve.c:28)."""
     cfg = config or SolverConfig()
     cfg = cfg.with_(method=method)
-    canon = canonicalize(lp, pad_to=pad_to, dtype=cfg.dtype)
+    canon = canonicalize(lp, pad_to=pad_to, dtype=cfg.dtype,
+                         free_vars=cfg.free_vars)
     if canon.status != int(Status.RUNNING):
         n, m0 = lp.n, lp.m
         return Solution(status=canon.status, x=np.zeros(n), y=np.zeros(m0),
