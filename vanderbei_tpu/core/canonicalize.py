@@ -60,6 +60,9 @@ class CanonLP:
     # a mirror at n_orig + k carrying -A_j, -c_j; x_j = x+_j - x-_k
     n_orig: int = 0
     free_cols: np.ndarray = None
+    # quadratic objective (QUADS extension): internal form is
+    # max c'x - x'Qx/2 + f with Q PSD; None for pure LPs
+    Q: np.ndarray = None
 
     @property
     def mp(self) -> int:
@@ -107,10 +110,15 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
         )
     l = np.where(np.isneginf(l), 0.0, l)        # split columns shift by 0
 
-    # 2. shift lower bounds to zero
+    # 2. shift lower bounds to zero (and fold Q's cross terms into c:
+    #    (x+l)'Q(x+l)/2 = x'Qx/2 + l'Qx + l'Ql/2, objective opt c'x + x'Qx/2)
+    Qd = lp.dense_Q()
     u_shift = np.where(np.isfinite(u), u - l, u)
     b = b - A @ l
     f = f + float(c @ l)
+    if Qd is not None:
+        c = c + Qd @ l
+        f = f + 0.5 * float(l @ Qd @ l)
 
     # 3. all rows to "<=": negate originals; ranged rows append the upper side
     range_rows = np.nonzero(np.isfinite(r))[0]
@@ -147,13 +155,26 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
         Ac[:m_canon, jm] = -Ac[:m_canon, j]
         cc[jm] = -cc[j]
 
+    # 7. quadratic term in internal max form: max c'x - x'Qx/2, so
+    # Q~ = +Q for min problems, -Q for max (reference ldlt.c:253-257 adds
+    # -max*Q to K's upper-left block with max = +1 min / -1 max)
+    Qc = None
+    if Qd is not None and lp.qnz:
+        Qc = np.zeros((npad, npad), dtype=dtype)
+        Qc[:n, :n] = (Qd if not lp.maximize else -Qd)
+        for k, j in enumerate(free_cols):
+            jm = n + k
+            Qc[jm, :n_ext] = -Qc[j, :n_ext]
+            Qc[:n_ext, jm] = -Qc[:n_ext, j]
+            Qc[jm, jm] = Qc[j, j]
+
     return CanonLP(
         A=Ac, b=bc, c=cc, f=f, m=m_canon, n=n_ext, m0=m,
         maximize=lp.maximize, l=l,
         range_rows=range_rows.astype(np.int64),
         ub_cols=ub_cols.astype(np.int64),
         status=int(Status.RUNNING), n_orig=n,
-        free_cols=free_cols.astype(np.int64),
+        free_cols=free_cols.astype(np.int64), Q=Qc,
     )
 
 
@@ -177,8 +198,12 @@ def recover_solution(canon: CanonLP, x, y, w, z):
     w = np.asarray(w, dtype=np.float64)[:m]
     z = np.asarray(z, dtype=np.float64)[:n]
     sign = 1.0 if canon.maximize else -1.0
-    primal_obj = sign * (float(canon.c[:n] @ x_canon) + canon.f)
-    dual_obj = sign * (float(canon.b[:m] @ y) + canon.f)
+    quad = 0.0
+    if canon.Q is not None:
+        quad = 0.5 * float(x_canon @ canon.Q[:n, :n] @ x_canon)
+    primal_obj = sign * (float(canon.c[:n] @ x_canon) - quad + canon.f)
+    # QP (Dorn) dual objective: b'y - x'Qx/2
+    dual_obj = sign * (float(canon.b[:m] @ y) - quad + canon.f)
     # fold split free-variable mirrors back: x_j = x+ - x-
     n0 = canon.n_orig or n
     x_base = x_canon[:n0].copy()

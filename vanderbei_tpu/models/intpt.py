@@ -61,6 +61,7 @@ def _ratio_step(x, dx, z, dz, y, dy, w, dw, r):
                      "refine_tol", "max_refine", "trace"),
 )
 def solve_canon(A, b, c, f, *,
+                Q=None,
                 max_iter: int = DEFAULT_MAX_ITER,
                 eps: float = 1.0e-6,
                 delta: float = 0.02,
@@ -69,7 +70,13 @@ def solve_canon(A, b, c, f, *,
                 refine_tol: float = 1.0e-10,
                 max_refine: int = 8,
                 trace: bool = False):
-    """Solve max c'x, Ax <= b, x >= 0 (dense canonical, padding-benign).
+    """Solve max c'x - x'Qx/2, Ax <= b, x >= 0 (dense canonical).
+
+    Q=None is the pure LP the reference's shipped solvers handle; a PSD Q
+    is the QUADS quadratic extension — the reference parses and stores it
+    (iolp.c:583-645, lp.h Q fields) and its KKT engine reserves the block
+    for it (ldlt.c:253-257), but no shipped solver passes it through; here
+    the same Newton system [[-E, A], [A', D+Q]] solves the QP directly.
 
     Returns (status, x, y, w, z, iterations).
     """
@@ -93,11 +100,16 @@ def solve_canon(A, b, c, f, *,
         rho = b - A @ x - w                  # primal infeasibility
         normr = jnp.sqrt(rho @ rho)
         sigma = c - A.T @ y + z              # dual infeasibility
+        if Q is not None:
+            sigma = sigma - Q @ x            # QP stationarity: c-Qx-A'y+z
         norms = jnp.sqrt(sigma @ sigma)
         gamma = z @ x + y @ w                # duality gap
 
         if trace:
-            jax.debug.callback(_trace_row, s.iter, c @ x + f, normr,
+            pobj = c @ x + f
+            if Q is not None:
+                pobj = pobj - 0.5 * (x @ (Q @ x))
+            jax.debug.callback(_trace_row, s.iter, pobj, normr,
                                b @ y + f, norms)
 
         optimal = (normr < eps) & (norms < eps) & (gamma < eps)
@@ -116,10 +128,10 @@ def solve_canon(A, b, c, f, *,
             mu = delta * gamma / (n + m)
             D = z / x
             E = w / y
-            L = kkt_factor(A, E, D, epsdiag)
+            L = kkt_factor(A, E, D, epsdiag, Q=Q)
             rhs_x = sigma - z + mu / x
             rhs_y = rho + w - mu / y
-            dy, dx = kkt_solve(A, E, D, L, rhs_y, rhs_x,
+            dy, dx = kkt_solve(A, E, D, L, rhs_y, rhs_x, Q=Q,
                                epsdiag=epsdiag, refine_tol=refine_tol,
                                max_refine=max_refine)
             dz = mu / x - z - D * dx

@@ -33,9 +33,10 @@ def _solve_intpt(canon: CanonLP, cfg: SolverConfig):
     if trace:
         print(_intpt.INTPT_BANNER, flush=True)
     A = jnp.asarray(canon.A, cfg.dtype)
+    Q = None if canon.Q is None else jnp.asarray(canon.Q, cfg.dtype)
     return _intpt.solve_canon(
         A, jnp.asarray(canon.b, cfg.dtype), jnp.asarray(canon.c, cfg.dtype),
-        canon.f, max_iter=max_iter, eps=cfg.ipm_eps, delta=cfg.delta,
+        canon.f, Q=Q, max_iter=max_iter, eps=cfg.ipm_eps, delta=cfg.delta,
         step_factor=cfg.step_factor, epsdiag=cfg.epsdiag,
         refine_tol=cfg.refine_tol, max_refine=cfg.max_refine, trace=trace)
 
@@ -85,6 +86,14 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
     """Canonicalize and solve an LP; the analogue of solvelp (solve.c:28)."""
     cfg = config or SolverConfig()
     cfg = cfg.with_(method=method)
+    if lp.qnz and method != "intpt":
+        # the reference's shipped solvers silently ignore Q (its ldltfac
+        # builds a private zero-Q LP, ldlt.c:140-144); we instead route
+        # quadratic objectives to the QP-capable path-following solver
+        if cfg.verbose:
+            print(f"QUADS present: routing method {method!r} -> 'intpt' "
+                  "(QP-capable)", flush=True)
+        method = "intpt"
     canon = canonicalize(lp, pad_to=pad_to, dtype=cfg.dtype,
                          free_vars=cfg.free_vars)
     if canon.status != int(Status.RUNNING):
