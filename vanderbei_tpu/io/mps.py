@@ -87,12 +87,26 @@ def _newstate(line: str) -> int:
     raise ValueError(f"unrecognized section label: {line.strip()}")
 
 
-def read_mps(path_or_paths, lp: LP | None = None) -> LP:
-    """Parse one or more MPS files into an LP (reference readlp iolp.c:145)."""
+def read_mps(path_or_paths, lp: LP | None = None,
+             engine: str = "auto") -> LP:
+    """Parse one or more MPS files into an LP (reference readlp iolp.c:145).
+
+    engine: "native" uses the C++ reader (vanderbei_tpu/native, ~10x faster
+    per file), "python" this implementation, "auto" prefers native for
+    single-file reads with default options and falls back to python.
+    """
     if isinstance(path_or_paths, (str,)):
         paths = [path_or_paths]
     else:
         paths = list(path_or_paths)
+
+    if engine in ("auto", "native") and lp is None and len(paths) == 1:
+        try:
+            from ..native import read_mps_native
+            return read_mps_native(paths[0])
+        except Exception:
+            if engine == "native":
+                raise
     if lp is None:
         lp = LP()
 
