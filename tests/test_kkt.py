@@ -37,7 +37,7 @@ def test_extreme_scaling_survives():
     ry = rng.normal(size=m)
     rx = rng.normal(size=n)
     L = kkt_factor(jnp.array(A), jnp.array(E), jnp.array(D), 1e-14)
-    assert not np.any(np.isnan(np.asarray(L)))
+    assert not np.any(np.isnan(np.asarray(L.L)))
     dy, dx = kkt_solve(jnp.array(A), jnp.array(E), jnp.array(D), L,
                        jnp.array(ry), jnp.array(rx))
     r1 = ry + E * np.asarray(dy) - A @ np.asarray(dx)
@@ -64,3 +64,25 @@ def test_quadratic_term():
                        jnp.array(ry), jnp.array(rx), Q=jnp.array(Q))
     np.testing.assert_allclose(np.asarray(dy), ref[:m], rtol=1e-8)
     np.testing.assert_allclose(np.asarray(dx), ref[m:], rtol=1e-8)
+
+
+def test_mixed_precision_f32_factor():
+    """f32 (MXU-speed) factor + f64 refinement recovers f64-grade accuracy
+    on a Jacobi-scaled moderately conditioned system."""
+    rng = np.random.default_rng(3)
+    m, n = 40, 24
+    A = rng.normal(size=(m, n))
+    D = 10.0 ** rng.uniform(-4, 4, n)
+    E = 10.0 ** rng.uniform(-4, 4, m)
+    ry = rng.normal(size=m)
+    rx = rng.normal(size=n)
+    fac = kkt_factor(jnp.array(A), jnp.array(E), jnp.array(D), 1e-14,
+                     factor_dtype=jnp.float32)
+    assert fac.L.dtype == jnp.float32
+    dy, dx = kkt_solve(jnp.array(A), jnp.array(E), jnp.array(D), fac,
+                       jnp.array(ry), jnp.array(rx), lu_fallback=False)
+    K = np.block([[-np.diag(E), A], [A.T, np.diag(D)]])
+    ref = np.linalg.solve(K, np.concatenate([ry, rx]))
+    err = max(np.max(np.abs(np.asarray(dy) - ref[:m])),
+              np.max(np.abs(np.asarray(dx) - ref[m:])))
+    assert err < 1e-8 * max(1.0, np.max(np.abs(ref)))

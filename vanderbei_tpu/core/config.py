@@ -32,6 +32,10 @@ class SolverConfig:
     epsdiag: float = 1.0e-14
     refine_tol: float = 1.0e-10     # iterative refinement target (ldlt.c:411)
     max_refine: int = 8
+    # KKT factorization precision: "f64", "f32" (MXU-speed factor + f64
+    # refinement), or "hybrid" (f32 until mu < hybrid_mu, then f64)
+    factor_dtype: str = "f64"
+    hybrid_mu: float = 1.0e-4
 
     # simplex tolerances (pd.c:38-42)
     eps: float = 1.0e-8             # EPS / EPS1 pivot tolerance

@@ -100,7 +100,9 @@ def make_step(A, b, c, *,
               max_refine: int = 8,
               lu_fallback: bool = True,
               trace: bool = False,
-              f: float = 0.0):
+              f: float = 0.0,
+              factor_dtype: str = "f64",
+              hybrid_mu: float = 1.0e-4):
     """Build the single-iteration step function state -> state.
 
     This is the framework's flagship 'forward step': one KKT factorization,
@@ -159,13 +161,32 @@ def make_step(A, b, c, *,
 
             D = z / x
             E = w / y
-            L = kkt_factor(A, E, D, epsdiag)
-            fy, fx = kkt_solve(A, E, D, L, rho_rhs, -sigma_rhs,
-                               epsdiag=epsdiag, refine_tol=refine_tol,
-                               max_refine=max_refine, lu_fallback=lu_fallback)
-            gy, gx = kkt_solve(A, E, D, L, -b, -c,
-                               epsdiag=epsdiag, refine_tol=refine_tol,
-                               max_refine=max_refine, lu_fallback=lu_fallback)
+
+            def solve_dirs(fd, fallback):
+                fac = kkt_factor(A, E, D, epsdiag, factor_dtype=fd)
+                fy, fx = kkt_solve(A, E, D, fac, rho_rhs, -sigma_rhs,
+                                   epsdiag=epsdiag, refine_tol=refine_tol,
+                                   max_refine=max_refine,
+                                   lu_fallback=fallback)
+                gy, gx = kkt_solve(A, E, D, fac, -b, -c,
+                                   epsdiag=epsdiag, refine_tol=refine_tol,
+                                   max_refine=max_refine,
+                                   lu_fallback=fallback)
+                return fy, fx, gy, gx
+
+            if factor_dtype == "f32":
+                fy, fx, gy, gx = solve_dirs(jnp.float32, lu_fallback)
+            elif factor_dtype == "hybrid":
+                # MXU-speed f32 factor while far from the central path's
+                # end; full-precision factor once mu is small (the regime
+                # where direction accuracy limits convergence)
+                fy, fx, gy, gx = jax.lax.cond(
+                    mu > hybrid_mu,
+                    lambda _: solve_dirs(jnp.float32, False),
+                    lambda _: solve_dirs(None, lu_fallback),
+                    operand=None)
+            else:
+                fy, fx, gy, gx = solve_dirs(None, lu_fallback)
 
             dphi = ((c @ fx - b @ fy + gamma)
                     / (c @ gx - b @ gy - psi / phi))   # hsd.c:230-231
@@ -210,7 +231,7 @@ def make_step(A, b, c, *,
     jax.jit,
     static_argnames=("max_iter", "eps", "step_factor", "long_step", "beta",
                      "epsdiag", "refine_tol", "max_refine", "lu_fallback",
-                     "trace"),
+                     "trace", "factor_dtype", "hybrid_mu"),
 )
 def solve_canon(A, b, c, f, *,
                 max_iter: int = DEFAULT_MAX_ITER,
@@ -222,7 +243,9 @@ def solve_canon(A, b, c, f, *,
                 refine_tol: float = 1.0e-10,
                 max_refine: int = 8,
                 lu_fallback: bool = True,
-                trace: bool = False):
+                trace: bool = False,
+                factor_dtype: str = "f64",
+                hybrid_mu: float = 1.0e-4):
     """Solve max c'x, Ax <= b, x >= 0 via the HSD embedding.
 
     Returns (status, x, y, w, z, iterations) with x,y,w,z de-homogenized.
@@ -230,7 +253,8 @@ def solve_canon(A, b, c, f, *,
     body = make_step(A, b, c, eps=eps, step_factor=step_factor,
                      long_step=long_step, beta=beta, epsdiag=epsdiag,
                      refine_tol=refine_tol, max_refine=max_refine,
-                     lu_fallback=lu_fallback, trace=trace, f=f)
+                     lu_fallback=lu_fallback, trace=trace, f=f,
+                     factor_dtype=factor_dtype, hybrid_mu=hybrid_mu)
 
     def cond(s: HsdState):
         return (s.status == int(Status.RUNNING)) & (s.iter < max_iter)

@@ -53,7 +53,8 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
         canon.f, max_iter=max_iter, eps=cfg.hsd_eps,
         step_factor=cfg.hsd_step_factor, long_step=long_step, beta=cfg.beta,
         epsdiag=cfg.epsdiag, refine_tol=cfg.refine_tol,
-        max_refine=cfg.max_refine, trace=trace)
+        max_refine=cfg.max_refine, trace=trace,
+        factor_dtype=cfg.factor_dtype, hybrid_mu=cfg.hybrid_mu)
 
 
 def _solve_pd(canon: CanonLP, cfg: SolverConfig):

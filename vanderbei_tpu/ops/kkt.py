@@ -28,6 +28,7 @@ for LPs).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,18 +39,32 @@ def use_primal_form(m: int, n: int, has_q: bool) -> bool:
     return (m <= n) and not has_q
 
 
-def kkt_factor(A, E, D, epsdiag: float, Q=None):
+class KKTFactor(NamedTuple):
+    """Cholesky factor of the Jacobi-scaled normal matrix.
+
+    L is the lower factor of Ms = S M S with S = diag(1/sqrt(diag M));
+    s carries the scaling vector.  L may be a lower precision than the
+    problem data (mixed-precision path) — solves cast through L.dtype and
+    the f64 refinement in kkt_solve recovers accuracy.
+    """
+    L: jax.Array
+    s: jax.Array
+
+
+def kkt_factor(A, E, D, epsdiag: float, Q=None, factor_dtype=None):
     """Cholesky-factor the reduced normal-equations matrix.
 
-    Returns the lower factor L (plus nothing else — the form is a static
-    function of A's shape).  E, D are clamped below by epsdiag like the
-    reference clamps K's diagonal (ldlt.c:235-236).
+    E, D are clamped below by epsdiag like the reference clamps K's
+    diagonal (ldlt.c:235-236).  The matrix is symmetrically Jacobi-scaled
+    to unit diagonal before factoring — the diagonal spread of IPM normal
+    matrices is exactly what kills their conditioning, so this both
+    stabilizes f64 and makes an f32 (MXU-speed) factor usable, with the
+    f64 refinement in kkt_solve recovering the remaining digits.
 
-    Near convergence the D/E spread makes M numerically indefinite; the
-    reference escalates its diagonal perturbation 10x when the factor
-    degenerates (ldlt.c:293-306).  Dense analogue: retry the Cholesky with a
-    geometrically growing Tikhonov term until the factor is NaN-free; the
-    iterative refinement in kkt_solve then corrects against the TRUE system.
+    Near convergence the scaled matrix can still go numerically indefinite;
+    the reference escalates its diagonal perturbation 10x when the factor
+    degenerates (ldlt.c:293-306).  Dense analogue: retry the Cholesky with
+    a geometrically growing Tikhonov term until the factor is NaN-free.
     """
     m, n = A.shape
     Ec = jnp.maximum(E, epsdiag)
@@ -63,36 +78,48 @@ def kkt_factor(A, E, D, epsdiag: float, Q=None):
         if Q is not None:
             M = M + Q
 
-    scale = jnp.max(jnp.diagonal(M))
-    eye = jnp.eye(M.shape[0], dtype=M.dtype)
-    L0 = jnp.linalg.cholesky(M)
+    d = jnp.diagonal(M)
+    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-300, M.dtype)))
+    Ms = M * s[:, None] * s[None, :]
+    if factor_dtype is not None:
+        Ms = Ms.astype(factor_dtype)
+    eye = jnp.eye(M.shape[0], dtype=Ms.dtype)
+    L0 = jnp.linalg.cholesky(Ms)
 
     def bad(L):
         return jnp.any(jnp.isnan(L) | jnp.isinf(L))
 
     def cond(carry):
         reg, L = carry
-        return bad(L) & (reg < 1.0e-4)
+        return bad(L) & (reg < 1.0e-2)
 
     def body(carry):
         reg, L = carry
-        new_reg = jnp.where(reg == 0.0, 1.0e-14, reg * 100.0)
-        return new_reg, jnp.linalg.cholesky(M + (new_reg * scale) * eye)
+        floor = 1.0e-14 if Ms.dtype == jnp.float64 else 1.0e-7
+        new_reg = jnp.where(reg == 0.0, floor, reg * 100.0).astype(Ms.dtype)
+        return new_reg, jnp.linalg.cholesky(Ms + new_reg * eye)
 
-    _, L = jax.lax.while_loop(cond, body, (jnp.zeros((), M.dtype), L0))
-    return L
+    _, L = jax.lax.while_loop(cond, body, (jnp.zeros((), Ms.dtype), L0))
+    return KKTFactor(L, s)
 
 
-def _raw_solve(A, Ec, Dc, L, ry, rx, Q=None):
-    """One forward/backward pass: K [dy; dx] = [ry; rx] via the factor L."""
+def _scaled_cho_solve(fac: KKTFactor, t):
+    """Solve M u = t through the scaled factor: u = S Ms^-1 S t."""
+    st = (fac.s * t).astype(fac.L.dtype)
+    u = cho_solve((fac.L, True), st)
+    return fac.s * u.astype(fac.s.dtype)
+
+
+def _raw_solve(A, Ec, Dc, fac: KKTFactor, ry, rx, Q=None):
+    """One forward/backward pass: K [dy; dx] = [ry; rx] via the factor."""
     m, n = A.shape
     if use_primal_form(m, n, Q is not None):
         t = A @ (rx / Dc) - ry
-        dy = cho_solve((L, True), t)
+        dy = _scaled_cho_solve(fac, t)
         dx = (rx - A.T @ dy) / Dc
     else:
         t = rx + A.T @ (ry / Ec)
-        dx = cho_solve((L, True), t)
+        dx = _scaled_cho_solve(fac, t)
         dy = (A @ dx - ry) / Ec
     return dy, dx
 

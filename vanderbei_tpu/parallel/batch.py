@@ -74,7 +74,8 @@ def stack_class(entries, mp: int, np_: int, dtype=np.float64):
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "eps", "step_factor", "long_step", "beta",
-                     "epsdiag", "refine_tol", "max_refine"),
+                     "epsdiag", "refine_tol", "max_refine", "factor_dtype",
+                     "hybrid_mu"),
 )
 def solve_batch_hsd(A, b, c, *,
                     max_iter: int = 200,
@@ -84,7 +85,9 @@ def solve_batch_hsd(A, b, c, *,
                     beta: float = 0.80,
                     epsdiag: float = 1.0e-14,
                     refine_tol: float = 1.0e-10,
-                    max_refine: int = 4):
+                    max_refine: int = 4,
+                    factor_dtype: str = "f64",
+                    hybrid_mu: float = 1.0e-4):
     """vmapped HSD over a stacked class (B, mp, np_).
 
     lu_fallback is disabled: under vmap, lax.cond lowers to a select that
@@ -95,7 +98,7 @@ def solve_batch_hsd(A, b, c, *,
         _hsd.solve_canon, max_iter=max_iter, eps=eps,
         step_factor=step_factor, long_step=long_step, beta=beta,
         epsdiag=epsdiag, refine_tol=refine_tol, max_refine=max_refine,
-        lu_fallback=False)
+        lu_fallback=False, factor_dtype=factor_dtype, hybrid_mu=hybrid_mu)
     return jax.vmap(lambda Ai, bi, ci: solver(Ai, bi, ci, 0.0))(A, b, c)
 
 
