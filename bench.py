@@ -163,10 +163,13 @@ def main():
     sweep_once()
     compile_s = time.perf_counter() - t_compile0
 
-    # timed sweep (steady state)
-    t0 = time.perf_counter()
-    results = sweep_once()
-    elapsed = time.perf_counter() - t0
+    # timed sweep (steady state, best-of-3: the workload is tiny on TPU so
+    # a single rep is dispatch-noise dominated)
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        results = sweep_once()
+        elapsed = min(elapsed, time.perf_counter() - t0)
     ppm = 60.0 * len(problems) / elapsed
 
     solved = 0

@@ -69,7 +69,18 @@ def kkt_factor(A, E, D, epsdiag: float, Q=None, factor_dtype=None):
     m, n = A.shape
     Ec = jnp.maximum(E, epsdiag)
     Dc = jnp.maximum(D, epsdiag)
-    if use_primal_form(m, n, Q is not None):
+    f32_path = factor_dtype is not None and jnp.dtype(factor_dtype) == jnp.float32
+    if f32_path:
+        # fused Pallas scaled-syrk: forms M directly in f32 on the MXU
+        # (falls back to jnp off-TPU / non-tile shapes)
+        from .pallas_kernels import scaled_syrk
+        if use_primal_form(m, n, Q is not None):
+            M = scaled_syrk(A, 1.0 / Dc, Ec)
+        else:
+            M = scaled_syrk(A.T, 1.0 / Ec, Dc)
+            if Q is not None:
+                M = M + Q.astype(M.dtype)
+    elif use_primal_form(m, n, Q is not None):
         M = (A / Dc[None, :]) @ A.T
         M = M + jnp.diag(Ec)
     else:
@@ -78,9 +89,12 @@ def kkt_factor(A, E, D, epsdiag: float, Q=None, factor_dtype=None):
         if Q is not None:
             M = M + Q
 
-    d = jnp.diagonal(M)
-    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-300, M.dtype)))
-    Ms = M * s[:, None] * s[None, :]
+    # the scaling vector stays at DATA precision (f64): solves multiply
+    # through it, and truncating it would cap refinement at f32 accuracy
+    d = jnp.diagonal(M).astype(A.dtype)
+    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-300, A.dtype)))
+    s_m = s.astype(M.dtype)
+    Ms = M * s_m[:, None] * s_m[None, :]
     if factor_dtype is not None:
         Ms = Ms.astype(factor_dtype)
     eye = jnp.eye(M.shape[0], dtype=Ms.dtype)
