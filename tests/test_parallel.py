@@ -69,3 +69,29 @@ def test_sharded_batch_runs():
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_kkt_solve_matches_dense():
+    """Column-sharded normal-equations solve == single-device solve."""
+    from jax.sharding import Mesh
+    from vanderbei_tpu.parallel.distributed import (
+        sharded_kkt_solve, place_column_sharded)
+    devices = np.array(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devices, ("batch", "model"))
+    rng = np.random.default_rng(0)
+    m, n = 24, 64                     # n sharded 8-way
+    A = rng.normal(size=(m, n))
+    D = rng.uniform(0.5, 2.0, n)
+    E = rng.uniform(0.5, 2.0, m)
+    ry = rng.normal(size=m)
+    rx = rng.normal(size=n)
+    K = np.block([[-np.diag(E), A], [A.T, np.diag(D)]])
+    ref = np.linalg.solve(K, np.concatenate([ry, rx]))
+
+    As, Ds, rxs = place_column_sharded(
+        jnp.asarray(A), jnp.asarray(D), jnp.asarray(rx), mesh)
+    dy, dx = jax.jit(
+        lambda a, e, d, y, x: sharded_kkt_solve(a, e, d, y, x, mesh)
+    )(As, jnp.asarray(E), Ds, jnp.asarray(ry), rxs)
+    np.testing.assert_allclose(np.asarray(dy), ref[:m], rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(dx), ref[m:], rtol=1e-8)
