@@ -135,6 +135,8 @@ def main():
 
     from vanderbei_tpu.parallel.batch import solve_batch_hsd
 
+    FACTOR_DTYPE = "hybrid"   # f32 MXU factor until mu < 1e-4, then f64
+
     def stack(entries, mp, np_):
         B = len(entries)
         A = np.zeros((B, mp, np_))
@@ -144,14 +146,21 @@ def main():
             A[k, :canon.m, :canon.n] = canon.A[:canon.m, :canon.n]
             b[k, :canon.m] = canon.b[:canon.m]
             c[k, :canon.n] = canon.c[:canon.n]
-        return jnp.asarray(A), jnp.asarray(b), jnp.asarray(c)
+        return A, b, c
 
+    # distinct device copies per rep: the remote-execution layer memoizes
+    # identical (executable, input-buffer) launches, so re-timing the same
+    # buffers measures the cache, not the chip
+    N_REP = 2
     stacked = {k: stack(v, *k) for k, v in classes.items()}
+    reps = [{k: tuple(jnp.asarray(a) for a in v) for k, v in stacked.items()}
+            for _ in range(1 + N_REP)]
 
-    def sweep_once():
+    def sweep_once(buffers):
         out = {}
-        for key, (A, b, c) in stacked.items():
-            st, x, y, w, z, it = solve_batch_hsd(A, b, c)
+        for key, (A, b, c) in buffers.items():
+            st, x, y, w, z, it = solve_batch_hsd(
+                A, b, c, factor_dtype=FACTOR_DTYPE)
             out[key] = (st, x, it)
         # block on everything
         for key in out:
@@ -160,15 +169,14 @@ def main():
 
     # warmup: one compile per class
     t_compile0 = time.perf_counter()
-    sweep_once()
+    sweep_once(reps[0])
     compile_s = time.perf_counter() - t_compile0
 
-    # timed sweep (steady state, best-of-3: the workload is tiny on TPU so
-    # a single rep is dispatch-noise dominated)
+    # timed sweeps on fresh buffers
     elapsed = float("inf")
-    for _ in range(3):
+    for r in range(1, 1 + N_REP):
         t0 = time.perf_counter()
-        results = sweep_once()
+        results = sweep_once(reps[r])
         elapsed = min(elapsed, time.perf_counter() - t0)
     ppm = 60.0 * len(problems) / elapsed
 

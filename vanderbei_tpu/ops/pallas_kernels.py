@@ -88,9 +88,12 @@ def scaled_syrk_pallas(A, s, e, *, block_m: int = 256, block_k: int = 512,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bm, bk), lambda i, j, k: (j, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bk), lambda i, j, k: (0, k),
+                # (k - k) is an i32 zero derived from the program id: a bare
+                # Python 0 traces as i64 under jax_enable_x64 (Mosaic rejects
+                # the mixed tuple) and index maps may not capture tracers
+                pl.BlockSpec((1, bk), lambda i, j, k: (k - k, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bm), lambda i, j, k: (0, i),
+                pl.BlockSpec((1, bm), lambda i, j, k: (i - i, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((bm, bm), lambda i, j, k: (i, j),
@@ -115,8 +118,16 @@ def scaled_syrk(A, s, e, *, interpret: bool = False):
     m, n = A.shape
     if m % 128 or n % 128:
         return scaled_syrk_reference(A, s, e)
+
+    def pick(dim, prefs):
+        for p in prefs:
+            if dim % p == 0:
+                return p
+        return 128
+
     A = A.astype(jnp.float32)
     return scaled_syrk_pallas(A, s.astype(jnp.float32),
                               e.astype(jnp.float32),
-                              block_m=min(256, m), block_k=min(512, n),
+                              block_m=pick(m, (256, 128)),
+                              block_k=pick(n, (512, 256, 128)),
                               interpret=interpret)
