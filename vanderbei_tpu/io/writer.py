@@ -23,6 +23,16 @@ def _e(v: float) -> str:
     return f"{v:11.4e}"
 
 
+def _fit12(v: float) -> str:
+    """Format a value to fit the reader's 12-char fixed column [25:36]."""
+    s = f"{v:.12g}"
+    if len(s) > 12:
+        s = f"{v:.6e}"
+    if len(s) > 12:
+        s = f"{v:.4e}"
+    return s
+
+
 def write_sol(lp: LP, sol, path: str) -> None:
     m, n = lp.m, lp.n
     eps = lp.inftol * 1.2
@@ -90,33 +100,38 @@ def write_lp(lp: LP, path: str) -> None:
         for j in range(n):
             lab = lp.collab[j]
             if lp.c[j] != 0.0:
-                fp.write(f"    {lab:<8s}  {'obj':<8s}  {lp.c[j]:.12g}\n")
+                fp.write(f"    {lab:<8s}  {'obj':<8s}  {_fit12(lp.c[j])}\n")
             for i in range(m):
                 if A[i, j] != 0.0:
                     fp.write(f"    {lab:<8s}  {lp.rowlab[i]:<8s}  "
-                             f"{A[i, j]:.12g}\n")
+                             f"{_fit12(A[i, j])}\n")
         fp.write("RHS\n")
         for i in range(m):
             if lp.b[i] != 0.0:
-                fp.write(f"    rhs       {lp.rowlab[i]:<8s}  {lp.b[i]:.12g}\n")
+                fp.write(f"    rhs       {lp.rowlab[i]:<8s}  {_fit12(lp.b[i])}\n")
         if np.any(np.isfinite(lp.r) & (lp.r != 0.0)):
             fp.write("RANGES\n")
             for i in range(m):
                 if np.isfinite(lp.r[i]) and lp.r[i] != 0.0:
                     fp.write(f"    rng       {lp.rowlab[i]:<8s}  "
-                             f"{lp.r[i]:.12g}\n")
+                             f"{_fit12(lp.r[i])}\n")
         has_bounds = np.any(lp.l != 0.0) or np.any(np.isfinite(lp.u))
         if has_bounds:
             fp.write("BOUNDS\n")
             for j in range(n):
                 if np.isneginf(lp.l[j]):
+                    if np.isinf(lp.u[j]):
+                        # FR, not MI: the reader's MI quirk would set u to
+                        # the previous lower bound
+                        fp.write(f" FR bnd       {lp.collab[j]}\n")
+                        continue
                     fp.write(f" MI bnd       {lp.collab[j]}\n")
                 elif lp.l[j] != 0.0:
                     fp.write(f" LO bnd       {lp.collab[j]:<8s}  "
-                             f"{lp.l[j]:.12g}\n")
+                             f"{_fit12(lp.l[j])}\n")
                 if np.isfinite(lp.u[j]):
                     fp.write(f" UP bnd       {lp.collab[j]:<8s}  "
-                             f"{lp.u[j]:.12g}\n")
+                             f"{_fit12(lp.u[j])}\n")
         if lp.qnz:
             fp.write("QUADS\n")
             for j in range(n):
@@ -124,5 +139,5 @@ def write_lp(lp: LP, path: str) -> None:
                     i = lp.iQ[k]
                     if i >= j:  # lower triangle only, like writelp
                         fp.write(f"    {lp.collab[j]:<8s}  "
-                                 f"{lp.collab[i]:<8s}  {lp.Q[k]:.12g}\n")
+                                 f"{lp.collab[i]:<8s}  {_fit12(lp.Q[k])}\n")
         fp.write("ENDATA\n")
