@@ -148,13 +148,22 @@ def main():
             c[k, :canon.n] = canon.c[:canon.n]
         return A, b, c
 
-    # distinct device copies per rep: the remote-execution layer memoizes
-    # identical (executable, input-buffer) launches, so re-timing the same
-    # buffers measures the cache, not the chip
+    # per-rep VALUE perturbation: the remote-execution layer memoizes
+    # launches by content, so re-timing identical data measures the cache,
+    # not the chip.  A 1e-12-relative rhs jiggle leaves iteration counts
+    # and 1e-6-checked objectives untouched but defeats the memo.
     N_REP = 2
     stacked = {k: stack(v, *k) for k, v in classes.items()}
-    reps = [{k: tuple(jnp.asarray(a) for a in v) for k, v in stacked.items()}
-            for _ in range(1 + N_REP)]
+    rng = np.random.default_rng(0)
+
+    def rep_buffers(r):
+        out = {}
+        for k, (A, b, c) in stacked.items():
+            bj = b * (1.0 + 1e-12 * r * rng.uniform(0.5, 1.0, b.shape))
+            out[k] = (jnp.asarray(A), jnp.asarray(bj), jnp.asarray(c))
+        return out
+
+    reps = [rep_buffers(r) for r in range(1 + N_REP)]
 
     def sweep_once(buffers):
         out = {}

@@ -23,6 +23,10 @@ import jax as _jax
 # mixed-precision kernels in ops/ progressively avoid.
 _jax.config.update("jax_enable_x64", True)
 
+# TPU f32 matmuls default to bf16-input passes; the mixed-precision KKT
+# factor needs true f32 accumulation or the refinement loses the problem.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .core.lp import LP, Solution  # noqa: E402
 from .core.status import Status, STATUS_MESSAGES  # noqa: E402
 from .core.canonicalize import canonicalize, CanonLP  # noqa: E402
