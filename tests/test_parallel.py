@@ -95,3 +95,21 @@ def test_sharded_kkt_solve_matches_dense():
     )(As, jnp.asarray(E), Ds, jnp.asarray(ry), rxs)
     np.testing.assert_allclose(np.asarray(dy), ref[:m], rtol=1e-8)
     np.testing.assert_allclose(np.asarray(dx), ref[m:], rtol=1e-8)
+
+
+def test_batched_pd_matches_golden():
+    from vanderbei_tpu.parallel.batch import solve_batch_pd
+    names = ["AFIRO", "SC50A", "SC50B"]
+    lps = [netlib.load(n) for n in names]
+    classes, _ = group_by_class(lps, granularity=128)
+    entries = classes[(128, 128)]
+    A, b, c = stack_class(entries, 128, 128)
+    st, x, y, w, z, it = solve_batch_pd(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), max_iter=5000)
+    st = np.asarray(st)
+    assert (st == int(Status.OPTIMAL)).all(), st
+    for k, (idx, canon) in enumerate(entries):
+        obj_canon = float(np.asarray(c[k]) @ np.asarray(x[k])) + canon.f
+        sign = 1.0 if canon.maximize else -1.0
+        golden = netlib.golden_objective(names[idx])
+        assert abs(sign * obj_canon - golden) / max(1, abs(golden)) < 1e-6

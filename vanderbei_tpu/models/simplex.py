@@ -100,12 +100,24 @@ def _dy_nonbasic(Afull, Binv, nonbasics, col_out):
     return jnp.take(y_full, nonbasics)
 
 
-def _maybe_refresh(Afull, Binv, basics, it, every):
-    return jax.lax.cond(
-        (it % every) == (every - 1),
-        lambda _: _refresh_binv(Afull, basics),
-        lambda _: Binv,
-        operand=None)
+def _chunked_loop(cond, body, state, Afull, max_iter, refresh_every):
+    """Run `body` pivots in refresh_every-sized chunks with ONE unconditional
+    B^-1 refresh per chunk.
+
+    This replaces a per-pivot `lax.cond` refresh: under vmap a cond lowers
+    to a select that would execute the O(m^3) refresh for every lane every
+    pivot; chunking amortizes the dense 'refactor' exactly like the
+    reference's amortized-time heuristic (lueta.c:104-131) while keeping
+    batched execution efficient.  `body` is guarded so finished lanes
+    no-op.
+    """
+    guarded = lambda s: jax.lax.cond(cond(s), body, lambda x: x, s)
+
+    def chunk(s):
+        s = jax.lax.fori_loop(0, refresh_every, lambda t, ss: guarded(ss), s)
+        return s._replace(Binv=_refresh_binv(Afull, s.basics))
+
+    return jax.lax.while_loop(cond, chunk, state)
 
 
 # ---------------------------------------------------------------------------
@@ -222,8 +234,6 @@ def _pd_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int,
                 nonbasics = s.nonbasics.at[col_in].set(i_leave)
 
                 Binv = _pivot_binv(s.Binv, dx_B, col_out)
-                Binv = _maybe_refresh(Afull, Binv, basics, s.iter,
-                                      refresh_every)
                 return PdState(Binv, basics, nonbasics, x_B, xbar_B,
                                y_N, ybar_N, s.iter, s.status)
 
@@ -233,7 +243,7 @@ def _pd_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int,
         out = jax.lax.cond(mu <= EPS3, finish_optimal, pivot, operand=None)
         return out._replace(iter=s.iter + 1)
 
-    out = jax.lax.while_loop(cond, body, state)
+    out = _chunked_loop(cond, body, state, Afull, max_iter, refresh_every)
     status = jnp.where(out.status == int(Status.RUNNING),
                        int(Status.ITERATION_LIMIT), out.status)
 
@@ -273,7 +283,6 @@ def _tp_pivot(Afull, s: TpState, col_in, col_out, dy_N, dx_B, refresh_every):
     basics = s.basics.at[col_out].set(j_enter)
     nonbasics = s.nonbasics.at[col_in].set(i_leave)
     Binv = _pivot_binv(s.Binv, dx_B, col_out)
-    Binv = _maybe_refresh(Afull, Binv, basics, s.iter, refresh_every)
     return TpState(Binv, basics, nonbasics, x_B, y_N, s.iter, s.status,
                    s.done)
 
@@ -336,7 +345,8 @@ def _twophase_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int,
         out = jax.lax.cond(no_neg, stop, pivot, operand=None)
         return out._replace(iter=s.iter + 1)
 
-    s1 = jax.lax.while_loop(cond, phase1_body, state)
+    s1 = _chunked_loop(cond, phase1_body, state, Afull, max_iter,
+                       refresh_every)
 
     # objective restoration (2phase.c:331-350):
     # y_N = ((c_B B^-1) A_full)[nonbasics] - c_N
@@ -384,7 +394,8 @@ def _twophase_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int,
         out = jax.lax.cond(no_neg, stop, pivot, operand=None)
         return out._replace(iter=s.iter + 1)
 
-    s2 = jax.lax.while_loop(cond, phase2_body, s1)
+    s2 = _chunked_loop(cond, phase2_body, s1, Afull, max_iter,
+                       refresh_every)
 
     status = jnp.where(s2.status == int(Status.RUNNING),
                        int(Status.ITERATION_LIMIT), s2.status)

@@ -117,3 +117,24 @@ def shard_batch(arrays, mesh, model_axis_dims=()):
         sharding = NamedSharding(mesh, P(*spec))
         out.append(jax.device_put(jnp.asarray(arr), sharding))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "refresh_every"))
+def solve_batch_pd(A, b, c, *, max_iter: int = 20000,
+                   refresh_every: int = 64, seed: int = 0):
+    """vmapped parametric self-dual simplex over a stacked class.
+
+    Divergent pivot counts across the batch are handled by the chunked
+    run-to-fixpoint loop (finished lanes no-op until the slowest converges).
+    """
+    from ..models.simplex import _pd_loop
+    B, mp, np_ = A.shape
+    eye = jnp.eye(mp, dtype=A.dtype)
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+
+    def one(Ai, bi, ci, key):
+        Afull = jnp.concatenate([Ai, eye], axis=1)
+        return _pd_loop(Afull, bi, ci, key, max_iter=max_iter,
+                        refresh_every=refresh_every)
+
+    return jax.vmap(one)(A, b, c, keys)
