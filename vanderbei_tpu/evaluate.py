@@ -21,6 +21,12 @@ import time
 
 import numpy as np
 
+# persistent compilation cache: a full-corpus sweep compiles one executable
+# per padded size class; re-runs (and bench.py, which shares the dir) hit it
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+
 from .core.config import SolverConfig
 from .core.status import Status, status_message
 from .io import netlib
@@ -30,8 +36,13 @@ from .models.registry import solve
 def run_sweep(method: str = "hsd", out_dir: str | None = None,
               max_rows: int | None = 2000, max_cols: int | None = 2000,
               names: list[str] | None = None, config: SolverConfig | None = None,
-              progress: bool = True):
-    """Solve the netlib corpus; returns a list of per-problem records."""
+              progress: bool = True, pad_to: int = 1):
+    """Solve the netlib corpus; returns a list of per-problem records.
+
+    pad_to > 1 rounds canonical dims up to tile multiples so problems of
+    similar size share one compiled executable (the jit cache keys on padded
+    shape), which is what makes a full-corpus sweep cheap on TPU.
+    """
     if names is None:
         names = netlib.available_problems(max_rows=max_rows,
                                           max_cols=max_cols)
@@ -42,7 +53,7 @@ def run_sweep(method: str = "hsd", out_dir: str | None = None,
         lp = netlib.load(name)
         t0 = time.perf_counter()
         try:
-            sol = solve(lp, method=method, config=cfg)
+            sol = solve(lp, method=method, config=cfg, pad_to=pad_to)
             status = sol.status
             obj = sol.primal_obj
             iters = sol.iterations
@@ -121,14 +132,22 @@ def main(argv=None) -> int:
     p.add_argument("--max-rows", type=int, default=2000)
     p.add_argument("--max-cols", type=int, default=2000)
     p.add_argument("--names", nargs="*", default=None)
+    p.add_argument("--pad-to", type=int, default=1,
+                   help="round padded canonical dims up to this multiple so "
+                        "similar problems share one compiled executable")
+    p.add_argument("--factor-dtype", default=None,
+                   choices=("f64", "f32", "hybrid"))
     p.add_argument("--free-vars", default="split",
                    choices=("split", "reject"),
                    help="'split' solves the free-variable instances the "
                         "reference rejects; 'reject' is reference parity")
     args = p.parse_args(argv)
+    cfg = SolverConfig(free_vars=args.free_vars)
+    if args.factor_dtype:
+        cfg = cfg.with_(factor_dtype=args.factor_dtype)
     run_sweep(method=args.method, out_dir=args.out, max_rows=args.max_rows,
               max_cols=args.max_cols, names=args.names,
-              config=SolverConfig(free_vars=args.free_vars))
+              config=cfg, pad_to=args.pad_to)
     return 0
 
 
