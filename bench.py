@@ -4,15 +4,25 @@ Prints ONE JSON line:
     {"metric": "netlib_problems_per_min", "value": N, "unit": "problems/min",
      "vs_baseline": R, ...extras}
 
-- Workload: every netlib instance whose canonical dense form fits in the
-  benchmark size cap, solved to the reference's default HSD semantics
-  (mu < 1e-12) with objectives cross-checked against the golden table.
-- value: steady-state problems/min on this chip (compile excluded via a
-  warmup pass per padded size class; a persistent compilation cache in
-  .jax_cache makes warmup cheap on re-runs).
-- vs_baseline: against the reference C ipo binary (hsd build, -O2, one CPU
-  core) timed on the same problems on this host.  If the reference can't be
-  built the stored constant from the last successful measurement is used.
+Honesty rules (this platform memoizes launches by content and acks async):
+- every rep re-solves on FRESH rhs values (1e-9-relative jiggle: objectives
+  move ~1e-9 relative, far inside the 1e-6 check, but the content is new);
+- the timed region includes fetching every solution vector to the HOST
+  (np.asarray), so deferred/acked execution cannot fake completion;
+- value = MEDIAN problems/min over N_REP >= 5 reps; all rep times reported;
+- an implied-FLOPs cross-check accompanies the headline: implied TF/s above
+  the chip's f32 peak would mean the measurement is an artifact, so the
+  JSON flags it (flops_sane).
+- compile/warmup is reported separately (persistent cache .jax_cache makes
+  it a one-time cost per machine).
+
+Workload: every netlib instance whose canonical padded class is <= 1024
+(both dims), solved by the batched two-stage (f32 MXU sprint -> f64 polish)
+HSD path to the reference's default tolerance (mu < 1e-12, hsd.c:24),
+objectives cross-checked against the published optima per rep.
+
+vs_baseline: against the reference C ipo binary (hsd build, -O2, one CPU
+core) timed on the same problems on this host.
 """
 
 import json
@@ -21,54 +31,45 @@ import subprocess
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-
-import jax  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-import vanderbei_tpu as vt  # noqa: E402
+import vanderbei_tpu  # noqa: E402  (enables x64)
+from vanderbei_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from vanderbei_tpu.core.canonicalize import canonicalize  # noqa: E402
 from vanderbei_tpu.core.status import Status  # noqa: E402
 from vanderbei_tpu.io import netlib  # noqa: E402
-from vanderbei_tpu.models import hsd  # noqa: E402
+from vanderbei_tpu.models.registry import size_class  # noqa: E402
+from vanderbei_tpu.parallel.batch import solve_batch_hsd  # noqa: E402
 
-# benchmark subset: canonical dims capped so the dense path fits comfortably
-MAX_DIM = 512
-CLASS_GRAN = 128
-
-# measured on this host (single core, gcc -O2 reference ipo/hsd build) the
-# last time the reference was buildable; overridden by a live measurement.
-FALLBACK_BASELINE_PROBLEMS_PER_MIN = None
+MAX_CLASS = 1024      # canonical size-class cap for the bench subset
+N_REP = 5
+F32_PEAK_TFLOPS = 200.0   # v5e-class single-chip ceiling for the sanity check
 
 REF_BUILD = "/tmp/refbuild_bench"
 
 
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
-
-
 def pick_problems():
-    names = []
-    # prefilter on published dims (canonical m <= rows + ranges + upper
-    # bounds) before densifying anything
-    for name in netlib.available_problems(max_rows=MAX_DIM,
-                                          max_cols=MAX_DIM):
+    out = []
+    for name in netlib.available_problems():
+        rows = netlib.NETLIB_GOLDEN[name][1]
+        cols = netlib.NETLIB_GOLDEN[name][2]
+        if rows > 2 * MAX_CLASS or cols > 2 * MAX_CLASS:
+            continue
         lp = netlib.load(name)
         canon = canonicalize(lp, pad_to=1)
         if canon.status != int(Status.RUNNING):
             continue    # free-variable instances: reference aborts too
-        if canon.m <= MAX_DIM and canon.n <= MAX_DIM:
-            names.append((name, lp, canon))
-    return names
+        mc, nc = size_class(canon.m), size_class(canon.n)
+        if mc <= MAX_CLASS and nc <= MAX_CLASS:
+            out.append((name, canon, (mc, nc)))
+    return out
 
 
 def build_reference():
@@ -99,11 +100,11 @@ def build_reference():
         return None
 
 
-def time_reference(binary, problems):
+def time_reference(binary, names):
     """Single-core wall time of the reference ipo on the same MPS files."""
     total = 0.0
     solved = 0
-    for name, lp, _ in problems:
+    for name in names:
         path = os.path.join(netlib.netlib_dir(),
                             netlib.NETLIB_GOLDEN[name][0])
         t0 = time.perf_counter()
@@ -119,6 +120,7 @@ def time_reference(binary, problems):
 
 
 def main():
+    t_script0 = time.perf_counter()
     problems = pick_problems()
     if not problems:
         print(json.dumps({"metric": "netlib_problems_per_min", "value": 0.0,
@@ -126,95 +128,101 @@ def main():
                           "error": "no problems available"}))
         return
 
-    # group into padded classes; each class is solved as ONE vmapped,
-    # jitted while_loop (the TPU-first instance-batched sweep)
     classes = {}
-    for name, lp, canon in problems:
-        key = (_round_up(canon.m, CLASS_GRAN), _round_up(canon.n, CLASS_GRAN))
-        classes.setdefault(key, []).append((name, lp, canon))
-
-    from vanderbei_tpu.parallel.batch import solve_batch_hsd
-
-    FACTOR_DTYPE = "hybrid"   # f32 MXU factor until mu < 1e-4, then f64
+    for name, canon, key in problems:
+        classes.setdefault(key, []).append((name, canon))
 
     def stack(entries, mp, np_):
         B = len(entries)
         A = np.zeros((B, mp, np_))
         b = np.ones((B, mp))
         c = np.zeros((B, np_))
-        for k, (_, _, canon) in enumerate(entries):
+        for k, (_, canon) in enumerate(entries):
             A[k, :canon.m, :canon.n] = canon.A[:canon.m, :canon.n]
             b[k, :canon.m] = canon.b[:canon.m]
             c[k, :canon.n] = canon.c[:canon.n]
         return A, b, c
 
-    # per-rep VALUE perturbation: the remote-execution layer memoizes
-    # launches by content, so re-timing identical data measures the cache,
-    # not the chip.  A 1e-12-relative rhs jiggle leaves iteration counts
-    # and 1e-6-checked objectives untouched but defeats the memo.
-    N_REP = 2
     stacked = {k: stack(v, *k) for k, v in classes.items()}
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(12345)
 
-    def rep_buffers(r):
+    def rep_buffers():
+        """Fresh-content device buffers: 1e-9-relative rhs jiggle."""
         out = {}
         for k, (A, b, c) in stacked.items():
-            bj = b * (1.0 + 1e-12 * r * rng.uniform(0.5, 1.0, b.shape))
+            bj = b * (1.0 + 1e-9 * rng.uniform(0.5, 1.0, b.shape))
             out[k] = (jnp.asarray(A), jnp.asarray(bj), jnp.asarray(c))
         return out
 
-    reps = [rep_buffers(r) for r in range(1 + N_REP)]
-
     def sweep_once(buffers):
-        out = {}
+        """Solve every class and FETCH all results to host (timed)."""
+        host = {}
+        launched = {}
         for key, (A, b, c) in buffers.items():
-            st, x, y, w, z, it = solve_batch_hsd(
-                A, b, c, factor_dtype=FACTOR_DTYPE)
-            out[key] = (st, x, it)
-        # block on everything
-        for key in out:
-            jax.block_until_ready(out[key][1])
-        return out
+            launched[key] = solve_batch_hsd(A, b, c)
+        for key, (st, x, y, w, z, it) in launched.items():
+            host[key] = (np.asarray(st), np.asarray(x), np.asarray(it))
+        return host
 
-    # warmup: one compile per class
-    t_compile0 = time.perf_counter()
-    sweep_once(reps[0])
-    compile_s = time.perf_counter() - t_compile0
+    # warmup/compile: one pass (persistent cache makes re-runs cheap)
+    t0 = time.perf_counter()
+    warm_bufs = rep_buffers()
+    sweep_once(warm_bufs)
+    compile_s = time.perf_counter() - t0
 
-    # timed sweeps on fresh buffers
-    elapsed = float("inf")
-    for r in range(1, 1 + N_REP):
+    rep_times = []
+    results = None
+    total_iters = 0
+    for _ in range(N_REP):
+        bufs = rep_buffers()
+        jax.block_until_ready([v for trip in bufs.values() for v in trip])
         t0 = time.perf_counter()
-        results = sweep_once(reps[r])
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        results = sweep_once(bufs)
+        rep_times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(rep_times))
     ppm = 60.0 * len(problems) / elapsed
 
-    solved = 0
-    correct = 0
+    # correctness + implied-FLOPs accounting on the final rep
+    solved = correct = 0
+    mismatches = []
+    flops = 0.0
+    per_class = {}
     for key, entries in classes.items():
         st, x, it = results[key]
-        A, b, cc = stacked[key]
-        st = np.asarray(st)
-        for k, (name, _, canon) in enumerate(entries):
+        _, _, cc = stacked[key]
+        mp, np_ = key
+        kdim = min(mp, np_)           # factored normal-matrix dim
+        for k, (name, canon) in enumerate(entries):
+            iters = int(it[k])
+            total_iters += iters
+            # per iteration: syrk (2 mp np kdim) + cholesky (kdim^3/3)
+            # + 2 solves (~6 kdim^2 each) + refinement matvecs (~8 mp np)
+            flops += iters * (2.0 * mp * np_ * kdim + kdim ** 3 / 3.0
+                              + 12.0 * kdim ** 2 + 8.0 * mp * np_)
             if st[k] == int(Status.OPTIMAL):
                 solved += 1
                 sign = 1.0 if canon.maximize else -1.0
-                obj = sign * (float(np.asarray(cc[k]) @ np.asarray(x[k]))
-                              + canon.f)
+                obj = sign * (float(cc[k] @ x[k]) + canon.f)
                 golden = netlib.golden_objective(name)
                 if abs(obj - golden) / max(1.0, abs(golden)) < 1e-6:
                     correct += 1
+                else:
+                    mismatches.append(name)
+            else:
+                mismatches.append(f"{name}:status{int(st[k])}")
+        per_class[f"{mp}x{np_}"] = dict(n=len(entries))
+    implied_tflops = flops / elapsed / 1e12
+    flops_sane = implied_tflops < F32_PEAK_TFLOPS
 
     # baseline: reference C single-core on the same set
     vs_baseline = 0.0
     base_ppm = None
     binary = build_reference()
     if binary:
-        ref_total, ref_count = time_reference(binary, problems)
+        ref_total, ref_count = time_reference(
+            binary, [name for name, _, _ in problems])
         if ref_total > 0 and ref_count == len(problems):
             base_ppm = 60.0 * ref_count / ref_total
-    if base_ppm is None:
-        base_ppm = FALLBACK_BASELINE_PROBLEMS_PER_MIN
     if base_ppm:
         vs_baseline = ppm / base_ppm
 
@@ -226,9 +234,16 @@ def main():
         "n_problems": len(problems),
         "optimal": solved,
         "objective_match_1e6": correct,
-        "elapsed_s": round(elapsed, 2),
+        "mismatches": mismatches,
+        "elapsed_s_median": round(elapsed, 3),
+        "rep_times_s": [round(t, 3) for t in rep_times],
+        "total_ipm_iterations": total_iters,
+        "implied_tflops": round(implied_tflops, 2),
+        "flops_sane": flops_sane,
         "compile_warmup_s": round(compile_s, 2),
+        "script_wall_s": round(time.perf_counter() - t_script0, 1),
         "baseline_problems_per_min": round(base_ppm, 3) if base_ppm else None,
+        "classes": {k: v["n"] for k, v in per_class.items()},
         "backend": jax.default_backend(),
     }))
 

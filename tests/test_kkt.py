@@ -80,7 +80,7 @@ def test_mixed_precision_f32_factor():
                      factor_dtype=jnp.float32)
     assert fac.L.dtype == jnp.float32
     dy, dx = kkt_solve(jnp.array(A), jnp.array(E), jnp.array(D), fac,
-                       jnp.array(ry), jnp.array(rx), lu_fallback=False)
+                       jnp.array(ry), jnp.array(rx))
     K = np.block([[-np.diag(E), A], [A.T, np.diag(D)]])
     ref = np.linalg.solve(K, np.concatenate([ry, rx]))
     err = max(np.max(np.abs(np.asarray(dy) - ref[:m])),

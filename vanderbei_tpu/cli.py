@@ -19,6 +19,7 @@ from .core.status import status_message
 from .io.mps import read_mps
 from .io.writer import write_sol
 from .models.registry import solve, SOLVERS
+from .utils.cache import enable_persistent_cache
 
 
 def main(argv=None) -> int:
@@ -34,7 +35,13 @@ def main(argv=None) -> int:
                    choices=("reject", "split"),
                    help="free (l=-inf) variables: 'reject' matches the "
                         "reference (status 3); 'split' solves them")
+    p.add_argument("--precision", default=None,
+                   choices=("auto", "mixed", "f32factor", "f64"),
+                   help="precision ladder (default: auto)")
+    p.add_argument("--time-limit", type=float, default=None,
+                   help="wall-clock budget in seconds (TIMLIM)")
     args = p.parse_args(argv)
+    enable_persistent_cache()
 
     banner = (
         "\t+-------------------------------------------------+\n"
@@ -50,6 +57,10 @@ def main(argv=None) -> int:
     cfg = SolverConfig(method=args.method, max_iter=args.max_iter,
                        seed=args.seed, verbose=args.verbose,
                        free_vars=args.free_vars)
+    if args.precision:
+        cfg = cfg.with_(precision=args.precision)
+    if args.time_limit is not None:
+        cfg = cfg.with_(time_limit=args.time_limit)
     sol = solve(lp, method=args.method, config=cfg)
     print(status_message(sol.status))
     if args.verbose:

@@ -74,11 +74,15 @@ class CanonLP:
 
 
 def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
-                 free_vars: str = "reject") -> CanonLP:
+                 free_vars: str = "reject",
+                 pad_rows_to: int | None = None,
+                 pad_cols_to: int | None = None) -> CanonLP:
     """Build the dense canonical form (reference solvelp solve.c:28-205).
 
     pad_to: round padded dims up to this multiple (use 8/128 for TPU tiles,
-    or a size-class bound for batching).
+    or a size-class bound for batching).  pad_rows_to / pad_cols_to instead
+    pad to an absolute target dim (size-class padding; must be >= the
+    canonical dims).
 
     free_vars: what to do with l_j = -inf columns.
       "reject" — the reference's behavior (solve.c:79-87 returns status 3,
@@ -129,6 +133,14 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
     m_canon = m + len(range_rows) + len(ub_cols)
     mp = _round_up(max(m_canon, 1), pad_to)
     npad = _round_up(max(n_ext, 1), pad_to)
+    if pad_rows_to is not None:
+        if pad_rows_to < m_canon:
+            raise ValueError(f"pad_rows_to={pad_rows_to} < canonical m={m_canon}")
+        mp = pad_rows_to
+    if pad_cols_to is not None:
+        if pad_cols_to < n_ext:
+            raise ValueError(f"pad_cols_to={pad_cols_to} < canonical n={n_ext}")
+        npad = pad_cols_to
 
     Ac = np.zeros((mp, npad), dtype=dtype)
     bc = np.ones(mp, dtype=dtype)          # benign padding rows: 0'x <= 1

@@ -4,6 +4,11 @@ One dataclass replaces the reference's three config layers (MPS header
 keywords iolp.c:167-183, the generic param[] store iolp.c:270-277, and the
 AMPL key=val options amplio.c:94-151).  Numeric-kernel knobs default to the
 reference's constants, cited per field.
+
+All float/int knobs are consumed as TRACED scalars by the solver loops —
+changing them never triggers a recompile.  Only `precision`, `method`,
+`free_vars`, verbosity-derived trace flags and shape-affecting values
+(refresh_every, max_refine) key new XLA programs.
 """
 
 from __future__ import annotations
@@ -32,16 +37,32 @@ class SolverConfig:
     epsdiag: float = 1.0e-14
     refine_tol: float = 1.0e-10     # iterative refinement target (ldlt.c:411)
     max_refine: int = 8
-    # KKT factorization precision: "f64", "f32" (MXU-speed factor + f64
-    # refinement), or "hybrid" (f32 until mu < hybrid_mu, then f64)
-    factor_dtype: str = "f64"
-    hybrid_mu: float = 1.0e-4
+
+    # Precision ladder.  The reference is an f64 CPU code with an optional
+    # double-double mode; TPUs run f32 at MXU speed and f64 by emulation.
+    #   "auto"   (default): "mixed" when the factored normal-matrix dim is
+    #            >= mixed_min_dim (where the f32 sprint pays), else "f64"
+    #            (small problems are launch-bound; f64 direct keeps
+    #            reference-parity iteration paths).
+    #   "mixed": stage 1 runs the WHOLE solve in f32 until mu < stage1_mu,
+    #            then stage 2 resumes the state in f64 to the reference
+    #            tolerance (hsd.c:24 mu < 1e-12).  Same statuses/objectives,
+    #            MXU-speed bulk iterations; if the warm-started polish hits
+    #            the iteration limit, one clean f64 retry runs (the f32
+    #            path can wander on degenerate problems).
+    #   "f32factor": f64 data, f32 Cholesky factor + f64 refinement.
+    #   "f64":   single-stage f64 (closest to the reference's arithmetic).
+    precision: str = "auto"
+    stage1_mu: float = 1.0e-4       # mixed-mode stage boundary (mu)
+    mixed_min_dim: int = 1024       # "auto": mixed only at/above this dim
+
+    time_limit: float = float("inf")   # TIMLIM header / cfg seconds budget
 
     # simplex tolerances (pd.c:38-42)
     eps: float = 1.0e-8             # EPS / EPS1 pivot tolerance
     eps2: float = 1.0e-12           # EPS2 perturbation floor
     eps3: float = 1.0e-10           # EPS3 mu optimality cutoff
-    simplex_max_iter: int = 1_000_000   # pd.c:42
+    simplex_max_iter: int = 200_000  # chunked run cap (reference pd.c:42 1e6)
     refresh_every: int = 64         # dense B^-1 refresh cadence (replaces
                                     # the eta-file/bump refactor heuristic,
                                     # lueta.c:104-131)
@@ -56,3 +77,27 @@ class SolverConfig:
 
     def with_(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
+
+    def apply_lp_params(self, lp) -> "SolverConfig":
+        """Fold the LP's MPS-header run parameters into this config —
+        the analogue of the reference reading lp->itnlim / lp->timlim /
+        lp->verbose / lp->sf_req after readlp (iolp.c:167-183 parses them
+        into the LP).  Only headers explicitly present in the file override
+        (every header line lands in lp.params, iolp.c:270-277 semantics).
+        """
+        explicit = set(getattr(lp, "params", {}) or {})
+        cfg = self
+        if "ITNLIM" in explicit and self.max_iter == 0:
+            cfg = cfg.with_(max_iter=int(lp.itnlim))
+        if "TIMLIM" in explicit and not np.isfinite(self.time_limit):
+            cfg = cfg.with_(time_limit=float(lp.timlim))
+        if "VERBOSE" in explicit and self.verbose == 0:
+            cfg = cfg.with_(verbose=int(lp.verbose))
+        if "SIGFIG" in explicit:
+            # sf_req significant figures; the defaults sf_req=8 (iolp.c:96)
+            # correspond to the reference stops mu<1e-12 (hsd.c:24) and
+            # eps=1e-6 (intpt.c:30) — scale both with the request
+            sf = int(lp.sf_req)
+            cfg = cfg.with_(hsd_eps=10.0 ** (-(sf + 4)),
+                            ipm_eps=10.0 ** (-(sf - 2)))
+        return cfg

@@ -4,12 +4,18 @@ Reproduces the reference's quality-control artifact
 (evaluate/v1-cf4d5ba/netlib/{ipo,simpo}/ — per-problem solution logs plus a
 README.md summary table) for any registered method:
 
-    python -m vanderbei_tpu.evaluate --method hsd --out evaluate/dev
+    python -m vanderbei_tpu.evaluate --method hsd --out evaluate/r2
 
 Each problem gets NAME.mps.sol with the status line and final objectives;
 README.md tabulates (rows, cols, nonzeros, objective-or-status) exactly like
-the reference's per-solver README tables, diffable against both the
-reference's tree and the canonical netlib optima.
+the reference's per-solver README tables, with an extra column diffing
+against the corresponding REFERENCE outcome
+(/root/reference/evaluate/v1-cf4d5ba/netlib/{ipo,simpo}/README.md) and the
+canonical netlib optima (problems/netlib/README.md:40-150).
+
+Size classes: canonical dims pad to powers of two (registry.size_class), so
+the whole corpus shares ~a dozen compiled executables; with the persistent
+compilation cache (.jax_cache) re-runs skip compilation entirely.
 """
 
 from __future__ import annotations
@@ -17,43 +23,71 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import time
 
 import numpy as np
-
-# persistent compilation cache: a full-corpus sweep compiles one executable
-# per padded size class; re-runs (and bench.py, which shares the dir) hit it
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 
 from .core.config import SolverConfig
 from .core.status import Status, status_message
 from .io import netlib
 from .models.registry import solve
+from .utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+REFERENCE_EVAL = "/root/reference/evaluate/v1-cf4d5ba/netlib"
+# the reference's method -> results-directory mapping (link-time binaries)
+REF_DIR_FOR_METHOD = {"hsd": "ipo", "hsdls": "ipo", "intpt": "ipo",
+                      "pd": "simpo", "twophase": "simpo"}
+
+
+def reference_outcomes(method: str) -> dict:
+    """Parse the reference's README table: NAME -> objective | status text.
+
+    The tables record the solver-view objective (the negated original-sense
+    objective for min problems, matching its iteration logs).
+    """
+    d = REF_DIR_FOR_METHOD.get(method)
+    if d is None:
+        return {}
+    path = os.path.join(REFERENCE_EVAL, d, "README.md")
+    if not os.path.exists(path):
+        return {}
+    out = {}
+    pat = re.compile(r"^\|\s*\[([A-Z0-9.\-]+)\]\([^)]*\)\s*\|[^|]*\|[^|]*\|"
+                     r"[^|]*\|\s*([^|]+?)\s*\|\s*$")
+    with open(path) as fp:
+        for line in fp:
+            mm = pat.match(line.strip())
+            if mm:
+                out[mm.group(1)] = mm.group(2)
+    return out
 
 
 def run_sweep(method: str = "hsd", out_dir: str | None = None,
-              max_rows: int | None = 2000, max_cols: int | None = 2000,
+              max_rows: int | None = None, max_cols: int | None = None,
               names: list[str] | None = None, config: SolverConfig | None = None,
-              progress: bool = True, pad_to: int = 1):
+              progress: bool = True, time_limit: float | None = None):
     """Solve the netlib corpus; returns a list of per-problem records.
 
-    pad_to > 1 rounds canonical dims up to tile multiples so problems of
-    similar size share one compiled executable (the jit cache keys on padded
-    shape), which is what makes a full-corpus sweep cheap on TPU.
+    Problems run smallest-first so compiled size classes warm up cheaply;
+    time_limit (seconds, per problem) bounds stragglers via the chunked
+    iteration budget.
     """
     if names is None:
         names = netlib.available_problems(max_rows=max_rows,
                                           max_cols=max_cols)
     cfg = config or SolverConfig()
+    if time_limit:
+        cfg = cfg.with_(time_limit=float(time_limit))
     records = []
     for name in names:
         fname, rows, cols, nz, _flags, golden = netlib.NETLIB_GOLDEN[name]
         lp = netlib.load(name)
         t0 = time.perf_counter()
         try:
-            sol = solve(lp, method=method, config=cfg, pad_to=pad_to)
+            sol = solve(lp, method=method, config=cfg)
             status = sol.status
             obj = sol.primal_obj
             iters = sol.iterations
@@ -91,6 +125,7 @@ def write_record(out_dir: str, method: str, rec: dict) -> None:
         fp.write(f"m = {rec['rows']},n = {rec['cols']},nz = {rec['nonzeros']}\n")
         fp.write(f"iterations = {rec['iterations']}\n")
         fp.write(f"objective  = {rec['objective']:.7e}\n")
+        fp.write(f"golden     = {rec['golden']:.7e}\n")
         fp.write(f"seconds    = {rec['seconds']}\n")
         if rec["status"] >= 0:
             fp.write(status_message(rec["status"]) + " \n")
@@ -98,19 +133,49 @@ def write_record(out_dir: str, method: str, rec: dict) -> None:
             fp.write("error \n")
 
 
+def _ref_agrees(rec: dict, ref_text: str | None) -> str:
+    """Compare our outcome with the reference table's cell for the README."""
+    if ref_text is None:
+        return "—"
+    ref_text = ref_text.strip()
+    ours_optimal = rec["status"] == int(Status.OPTIMAL)
+    try:
+        ref_obj = float(ref_text)
+        if not ours_optimal:
+            return f"ref optimal ({ref_text})"
+        # the reference table records the solver-view (canonical max-form)
+        # objective; ours records the original sense — compare magnitudes
+        if (abs(abs(ref_obj) - abs(rec["objective"]))
+                / max(1.0, abs(ref_obj)) < 1e-4):
+            return "agree"
+        return f"ref {ref_text}"
+    except ValueError:
+        if ours_optimal:
+            return f"ref: {ref_text}"
+        ours = status_message(rec["status"]) if rec["status"] >= 0 else "error"
+        return "agree" if ours.startswith(ref_text.split()[0]) else f"ref: {ref_text}"
+
+
 def write_readme(out_dir: str, method: str, records: list) -> None:
     d = os.path.join(out_dir, "netlib", method)
     os.makedirs(d, exist_ok=True)
+    ref = reference_outcomes(method)
     n_opt = sum(1 for r in records if r["status"] == int(Status.OPTIMAL))
     n_match = sum(1 for r in records if r["relerr"] < 1e-6)
+    total_s = sum(r["seconds"] for r in records)
     lines = [
         f"# netlib results — method `{method}`",
         "",
         f"{len(records)} problems; {n_opt} optimal; "
-        f"{n_match} matching canonical optimum to 1e-6.",
+        f"{n_match} matching the canonical netlib optimum to 1e-6 relative; "
+        f"{total_s:.1f}s total wall.",
         "",
-        "| Name | Rows | Cols | Nonzeros | Objective | Status | Iters | Seconds |",
-        "|------|-----:|-----:|---------:|----------:|--------|------:|--------:|",
+        "Reference comparison: the `vs reference` column diffs against the "
+        f"corresponding row of `{REFERENCE_EVAL}/"
+        f"{REF_DIR_FOR_METHOD.get(method, '?')}/README.md`.",
+        "",
+        "| Name | Rows | Cols | Nonzeros | Objective | Status | Iters | Seconds | vs reference |",
+        "|------|-----:|-----:|---------:|----------:|--------|------:|--------:|--------------|",
     ]
     for r in records:
         obj = (f"{r['objective']:.7e}"
@@ -118,7 +183,8 @@ def write_readme(out_dir: str, method: str, records: list) -> None:
         st = (status_message(r["status"]) if r["status"] >= 0 else "error")
         lines.append(
             f"| {r['name']} | {r['rows']} | {r['cols']} | {r['nonzeros']} "
-            f"| {obj} | {st} | {r['iterations']} | {r['seconds']} |")
+            f"| {obj} | {st} | {r['iterations']} | {r['seconds']} "
+            f"| {_ref_agrees(r, ref.get(r['name']))} |")
     with open(os.path.join(d, "README.md"), "w") as fp:
         fp.write("\n".join(lines) + "\n")
     with open(os.path.join(d, "records.json"), "w") as fp:
@@ -129,25 +195,24 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vanderbei_tpu.evaluate")
     p.add_argument("--method", default="hsd")
     p.add_argument("--out", default=None)
-    p.add_argument("--max-rows", type=int, default=2000)
-    p.add_argument("--max-cols", type=int, default=2000)
+    p.add_argument("--max-rows", type=int, default=None)
+    p.add_argument("--max-cols", type=int, default=None)
     p.add_argument("--names", nargs="*", default=None)
-    p.add_argument("--pad-to", type=int, default=1,
-                   help="round padded canonical dims up to this multiple so "
-                        "similar problems share one compiled executable")
-    p.add_argument("--factor-dtype", default=None,
-                   choices=("f64", "f32", "hybrid"))
+    p.add_argument("--time-limit", type=float, default=None,
+                   help="per-problem wall budget in seconds")
+    p.add_argument("--precision", default=None,
+                   choices=("mixed", "f32factor", "f64"))
     p.add_argument("--free-vars", default="split",
                    choices=("split", "reject"),
                    help="'split' solves the free-variable instances the "
                         "reference rejects; 'reject' is reference parity")
     args = p.parse_args(argv)
     cfg = SolverConfig(free_vars=args.free_vars)
-    if args.factor_dtype:
-        cfg = cfg.with_(factor_dtype=args.factor_dtype)
+    if args.precision:
+        cfg = cfg.with_(precision=args.precision)
     run_sweep(method=args.method, out_dir=args.out, max_rows=args.max_rows,
               max_cols=args.max_cols, names=args.names,
-              config=cfg, pad_to=args.pad_to)
+              config=cfg, time_limit=args.time_limit)
     return 0
 
 

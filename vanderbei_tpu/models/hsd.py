@@ -15,6 +15,16 @@ The embedding solves max c'x, Ax <= b, x >= 0 homogenized with (phi, psi);
 each iteration does ONE KKT factorization and TWO solves (the f- and
 g-systems, hsd.c:220-231) combined through the dphi formula (hsd.c:230-238).
 De-homogenization divides by phi at exit (hsd.c:277-284).
+
+Compile-economy design (this platform pays ~20s-minutes per fresh XLA
+program): every numeric knob (eps, step factor, beta, iteration limit,
+pause threshold) is a TRACED scalar, so one compiled executable per
+(padded shape, dtype, factor path) serves all configurations.  Solves can
+PAUSE at a traced mu threshold and RESUME from a carried state pytree —
+this single mechanism provides (a) the two-stage f32->f64 mixed-precision
+ladder that replaces f64-everywhere solving, (b) the warm-start/checkpoint
+API (reference analogue: in-process basis persistence across refactor,
+lueta.c:104-131).
 """
 
 from __future__ import annotations
@@ -90,38 +100,46 @@ def init_state(A) -> HsdState:
                     jnp.asarray(int(Status.RUNNING)))
 
 
+def cast_state(state: HsdState, dtype) -> HsdState:
+    """Promote/demote a paused state between precision stages."""
+    return HsdState(
+        *(leaf.astype(dtype) for leaf in state[:6]),
+        state.iter, state.status)
+
+
 def make_step(A, b, c, *,
-              eps: float = 1.0e-12,
-              step_factor: float = 0.95,
+              eps=1.0e-12,
+              step_factor=0.95,
+              beta=0.80,
+              epsdiag=1.0e-14,
+              refine_tol=1.0e-10,
               long_step: bool = False,
-              beta: float = 0.80,
-              epsdiag: float = 1.0e-14,
-              refine_tol: float = 1.0e-10,
               max_refine: int = 8,
-              lu_fallback: bool = True,
               trace: bool = False,
-              f: float = 0.0,
-              factor_dtype: str = "f64",
-              hybrid_mu: float = 1.0e-4):
+              f=0.0,
+              factor_dtype=None):
     """Build the single-iteration step function state -> state.
 
     This is the framework's flagship 'forward step': one KKT factorization,
     two solves, the dphi combination, the ratio test/linesearch, and the
     update — everything inside one jit-compatible function, reusable by the
     while_loop driver, vmapped batching, and the mesh dry-run.
+
+    eps / step_factor / beta / epsdiag / refine_tol / f may be traced
+    scalars; long_step / max_refine / trace / factor_dtype are static (they
+    shape the program).
     """
     m, n = A.shape
     dtype = A.dtype
-    ls_delta = 2.0 * (1.0 - beta)               # hsdls.c:113
 
     def body(s: HsdState):
         x, z, y, w, phi, psi = s.x, s.z, s.y, s.w, s.phi, s.psi
 
         mu = (z @ x + w @ y + phi * psi) / (n + m + 1)
         if long_step:
-            delta = jnp.asarray(ls_delta, dtype)
+            delta = jnp.asarray(2.0 * (1.0 - beta), dtype)  # hsdls.c:113
         else:
-            delta = jnp.where(s.iter % 2 == 0, 0.0, 1.0)  # hsd.c:138-142
+            delta = jnp.where(s.iter % 2 == 0, 0.0, 1.0)    # hsd.c:138-142
 
         primal_obj = c @ x
         dual_obj = b @ y
@@ -162,31 +180,13 @@ def make_step(A, b, c, *,
             D = z / x
             E = w / y
 
-            def solve_dirs(fd, fallback):
-                fac = kkt_factor(A, E, D, epsdiag, factor_dtype=fd)
-                fy, fx = kkt_solve(A, E, D, fac, rho_rhs, -sigma_rhs,
-                                   epsdiag=epsdiag, refine_tol=refine_tol,
-                                   max_refine=max_refine,
-                                   lu_fallback=fallback)
-                gy, gx = kkt_solve(A, E, D, fac, -b, -c,
-                                   epsdiag=epsdiag, refine_tol=refine_tol,
-                                   max_refine=max_refine,
-                                   lu_fallback=fallback)
-                return fy, fx, gy, gx
-
-            if factor_dtype == "f32":
-                fy, fx, gy, gx = solve_dirs(jnp.float32, lu_fallback)
-            elif factor_dtype == "hybrid":
-                # MXU-speed f32 factor while far from the central path's
-                # end; full-precision factor once mu is small (the regime
-                # where direction accuracy limits convergence)
-                fy, fx, gy, gx = jax.lax.cond(
-                    mu > hybrid_mu,
-                    lambda _: solve_dirs(jnp.float32, False),
-                    lambda _: solve_dirs(None, lu_fallback),
-                    operand=None)
-            else:
-                fy, fx, gy, gx = solve_dirs(None, lu_fallback)
+            fac = kkt_factor(A, E, D, epsdiag, factor_dtype=factor_dtype)
+            fy, fx = kkt_solve(A, E, D, fac, rho_rhs, -sigma_rhs,
+                               epsdiag=epsdiag, refine_tol=refine_tol,
+                               max_refine=max_refine)
+            gy, gx = kkt_solve(A, E, D, fac, -b, -c,
+                               epsdiag=epsdiag, refine_tol=refine_tol,
+                               max_refine=max_refine)
 
             dphi = ((c @ fx - b @ fy + gamma)
                     / (c @ gx - b @ gy - psi / phi))   # hsd.c:230-231
@@ -229,10 +229,56 @@ def make_step(A, b, c, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "eps", "step_factor", "long_step", "beta",
-                     "epsdiag", "refine_tol", "max_refine", "lu_fallback",
-                     "trace", "factor_dtype", "hybrid_mu"),
+    static_argnames=("long_step", "max_refine", "trace", "factor_dtype"),
 )
+def _hsd_loop(A, b, c, f, init: HsdState, *,
+              max_iter, eps, step_factor, beta, epsdiag, refine_tol,
+              pause_mu,
+              long_step: bool = False,
+              max_refine: int = 8,
+              trace: bool = False,
+              factor_dtype=None):
+    """The jitted while_loop driver: run from `init` until status is decided,
+    the iteration budget is exhausted, or mu falls below `pause_mu` (a
+    traced stage boundary; 0.0 = run to convergence).
+
+    Returns the final state, NOT de-homogenized — callers pause/resume/
+    finish it (finish_state)."""
+    dtype = A.dtype
+    eps = jnp.asarray(eps, dtype)
+    step_factor = jnp.asarray(step_factor, dtype)
+    beta = jnp.asarray(beta, dtype)
+    epsdiag = jnp.asarray(epsdiag, dtype)
+    refine_tol = jnp.asarray(refine_tol, dtype)
+    pause_mu = jnp.asarray(pause_mu, dtype)
+    f = jnp.asarray(f, dtype)
+
+    body = make_step(A, b, c, eps=eps, step_factor=step_factor,
+                     beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
+                     long_step=long_step, max_refine=max_refine,
+                     trace=trace, f=f, factor_dtype=factor_dtype)
+    m, n = A.shape
+
+    def cond(s: HsdState):
+        mu = (s.z @ s.x + s.w @ s.y + s.phi * s.psi) / (n + m + 1)
+        return ((s.status == int(Status.RUNNING))
+                & (s.iter < max_iter)
+                & (mu > pause_mu))
+
+    return jax.lax.while_loop(cond, body, init)
+
+
+def finish_state(state: HsdState, max_iter):
+    """Map a final loop state to the reference's outputs: status plus the
+    de-homogenized (x, y, w, z) (hsd.c:277-284)."""
+    status = jnp.where(
+        (state.status == int(Status.RUNNING)) & (state.iter >= max_iter),
+        int(Status.ITERATION_LIMIT), state.status)
+    phi = state.phi
+    return (status, state.x / phi, state.y / phi, state.w / phi,
+            state.z / phi, state.iter)
+
+
 def solve_canon(A, b, c, f, *,
                 max_iter: int = DEFAULT_MAX_ITER,
                 eps: float = 1.0e-12,
@@ -242,27 +288,30 @@ def solve_canon(A, b, c, f, *,
                 epsdiag: float = 1.0e-14,
                 refine_tol: float = 1.0e-10,
                 max_refine: int = 8,
-                lu_fallback: bool = True,
                 trace: bool = False,
-                factor_dtype: str = "f64",
-                hybrid_mu: float = 1.0e-4):
+                factor_dtype=None,
+                pause_mu: float = 0.0,
+                init: HsdState | None = None):
     """Solve max c'x, Ax <= b, x >= 0 via the HSD embedding.
 
-    Returns (status, x, y, w, z, iterations) with x,y,w,z de-homogenized.
+    factor_dtype: None = factor at A's dtype; jnp.float32/"f32" = MXU-speed
+    f32 factor with data-precision refinement.  pause_mu > 0 pauses the
+    solve once mu <= pause_mu (status stays RUNNING) — combine with
+    `init=` to resume, possibly at a different precision (see
+    registry._solve_hsd for the two-stage ladder).
+
+    Returns (status, x, y, w, z, iterations, state); x,y,w,z de-homogenized.
     """
-    body = make_step(A, b, c, eps=eps, step_factor=step_factor,
-                     long_step=long_step, beta=beta, epsdiag=epsdiag,
-                     refine_tol=refine_tol, max_refine=max_refine,
-                     lu_fallback=lu_fallback, trace=trace, f=f,
-                     factor_dtype=factor_dtype, hybrid_mu=hybrid_mu)
-
-    def cond(s: HsdState):
-        return (s.status == int(Status.RUNNING)) & (s.iter < max_iter)
-
-    out = jax.lax.while_loop(cond, body, init_state(A))
-    status = jnp.where(out.status == int(Status.RUNNING),
-                       int(Status.ITERATION_LIMIT), out.status)
-    # de-homogenize (hsd.c:277-284)
-    phi = out.phi
-    return (status, out.x / phi, out.y / phi, out.w / phi, out.z / phi,
-            out.iter)
+    if isinstance(factor_dtype, str):
+        factor_dtype = {"f32": jnp.float32, "f64": None,
+                        "none": None}[factor_dtype]
+    if init is None:
+        init = init_state(A)
+    out = _hsd_loop(A, b, c, f, init,
+                    max_iter=max_iter, eps=eps, step_factor=step_factor,
+                    beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
+                    pause_mu=pause_mu, long_step=long_step,
+                    max_refine=max_refine, trace=trace,
+                    factor_dtype=factor_dtype)
+    status, x, y, w, z, iters = finish_state(out, max_iter)
+    return status, x, y, w, z, iters, out

@@ -8,6 +8,12 @@ TPU-first: a single jitted `lax.while_loop` over a state pytree; the KKT
 solve is the dense normal-equations Cholesky in ops/kkt.py; ratio tests are
 masked reductions.  Works unchanged under vmap for instance batching and
 under shard_map for mesh execution.
+
+Like models/hsd.py, every numeric knob is a traced scalar (one compiled
+program per shape/dtype/factor path), and the solve can pause at a traced
+duality-gap threshold and resume from a carried state — the mechanism
+behind both the two-stage f32->f64 precision ladder and the
+warm-start/checkpoint API.
 """
 
 from __future__ import annotations
@@ -47,6 +53,24 @@ class IntptState(NamedTuple):
     norms0: jax.Array
 
 
+def init_state(A) -> IntptState:
+    """1000-start (intpt.c:98-106)."""
+    m, n = A.shape
+    dtype = A.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    return IntptState(
+        jnp.full((n,), 1000.0, dtype), jnp.full((n,), 1000.0, dtype),
+        jnp.full((m,), 1000.0, dtype), jnp.full((m,), 1000.0, dtype),
+        jnp.asarray(0), jnp.asarray(int(Status.RUNNING)), inf, inf)
+
+
+def cast_state(state: IntptState, dtype) -> IntptState:
+    return IntptState(
+        *(leaf.astype(dtype) for leaf in state[:4]),
+        state.iter, state.status,
+        state.normr0.astype(dtype), state.norms0.astype(dtype))
+
+
 def _ratio_step(x, dx, z, dz, y, dy, w, dw, r):
     """theta = min(r / max_i(-d/v), 1) over all four vectors (intpt.c:211-220)."""
     t = jnp.maximum(jnp.max(-dx / x), jnp.max(-dz / z))
@@ -57,42 +81,33 @@ def _ratio_step(x, dx, z, dz, y, dy, w, dw, r):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "eps", "delta", "step_factor", "epsdiag",
-                     "refine_tol", "max_refine", "trace"),
+    static_argnames=("max_refine", "trace", "factor_dtype", "has_q"),
 )
-def solve_canon(A, b, c, f, *,
-                Q=None,
-                max_iter: int = DEFAULT_MAX_ITER,
-                eps: float = 1.0e-6,
-                delta: float = 0.02,
-                step_factor: float = 0.9,
-                epsdiag: float = 1.0e-14,
-                refine_tol: float = 1.0e-10,
+def _intpt_loop(A, b, c, f, Q, init: IntptState, *,
+                max_iter, eps, delta, step_factor, epsdiag, refine_tol,
+                pause_gap, div_detect,
                 max_refine: int = 8,
-                trace: bool = False):
-    """Solve max c'x - x'Qx/2, Ax <= b, x >= 0 (dense canonical).
-
-    Q=None is the pure LP the reference's shipped solvers handle; a PSD Q
-    is the QUADS quadratic extension — the reference parses and stores it
-    (iolp.c:583-645, lp.h Q fields) and its KKT engine reserves the block
-    for it (ldlt.c:253-257), but no shipped solver passes it through; here
-    the same Newton system [[-E, A], [A', D+Q]] solves the QP directly.
-
-    Returns (status, x, y, w, z, iterations).
-    """
+                trace: bool = False,
+                factor_dtype=None,
+                has_q: bool = False):
+    """Jitted while_loop driver; returns the final state (see hsd._hsd_loop
+    for the pause/resume contract)."""
     m, n = A.shape
     dtype = A.dtype
-    x = jnp.full((n,), 1000.0, dtype)       # intpt.c:98-106
-    z = jnp.full((n,), 1000.0, dtype)
-    y = jnp.full((m,), 1000.0, dtype)
-    w = jnp.full((m,), 1000.0, dtype)
-
-    inf = jnp.asarray(jnp.inf, dtype)
-    state = IntptState(x, z, y, w, jnp.asarray(0),
-                       jnp.asarray(int(Status.RUNNING)), inf, inf)
+    eps = jnp.asarray(eps, dtype)
+    delta = jnp.asarray(delta, dtype)
+    step_factor = jnp.asarray(step_factor, dtype)
+    epsdiag = jnp.asarray(epsdiag, dtype)
+    refine_tol = jnp.asarray(refine_tol, dtype)
+    pause_gap = jnp.asarray(pause_gap, dtype)
+    div_detect = jnp.asarray(div_detect, bool)
+    f = jnp.asarray(f, dtype)
+    Qq = Q if has_q else None
 
     def cond(s: IntptState):
-        return (s.status == int(Status.RUNNING)) & (s.iter < max_iter)
+        gap = s.z @ s.x + s.y @ s.w
+        return ((s.status == int(Status.RUNNING)) & (s.iter < max_iter)
+                & (gap > pause_gap))
 
     def body(s: IntptState):
         x, z, y, w = s.x, s.z, s.y, s.w
@@ -100,15 +115,15 @@ def solve_canon(A, b, c, f, *,
         rho = b - A @ x - w                  # primal infeasibility
         normr = jnp.sqrt(rho @ rho)
         sigma = c - A.T @ y + z              # dual infeasibility
-        if Q is not None:
-            sigma = sigma - Q @ x            # QP stationarity: c-Qx-A'y+z
+        if has_q:
+            sigma = sigma - Qq @ x           # QP stationarity: c-Qx-A'y+z
         norms = jnp.sqrt(sigma @ sigma)
         gamma = z @ x + y @ w                # duality gap
 
         if trace:
             pobj = c @ x + f
-            if Q is not None:
-                pobj = pobj - 0.5 * (x @ (Q @ x))
+            if has_q:
+                pobj = pobj - 0.5 * (x @ (Qq @ x))
             jax.debug.callback(_trace_row, s.iter, pobj, normr,
                                b @ y + f, norms)
 
@@ -116,8 +131,10 @@ def solve_canon(A, b, c, f, *,
         # divergence-based detection the reference itself marks "(unreliable)"
         # (intpt.c:175-182); gated here by the residual still being above
         # tolerance so sub-eps jitter can't trigger a false certificate
-        p_infeas = (normr > 10.0 * s.normr0) & (normr > eps)
-        d_infeas = (norms > 10.0 * s.norms0) & (norms > eps)
+        # div_detect gates the heuristic off entirely in the f32 sprint
+        # stage, where late-stage roundoff jitter can fake a 10x jump
+        p_infeas = (normr > 10.0 * s.normr0) & (normr > eps) & div_detect
+        d_infeas = (norms > 10.0 * s.norms0) & (norms > eps) & div_detect
         new_status = jnp.where(
             optimal, int(Status.OPTIMAL),
             jnp.where(p_infeas, int(Status.PRIMAL_INFEASIBLE),
@@ -128,10 +145,11 @@ def solve_canon(A, b, c, f, *,
             mu = delta * gamma / (n + m)
             D = z / x
             E = w / y
-            L = kkt_factor(A, E, D, epsdiag, Q=Q)
+            L = kkt_factor(A, E, D, epsdiag, Q=Qq,
+                           factor_dtype=factor_dtype)
             rhs_x = sigma - z + mu / x
             rhs_y = rho + w - mu / y
-            dy, dx = kkt_solve(A, E, D, L, rhs_y, rhs_x, Q=Q,
+            dy, dx = kkt_solve(A, E, D, L, rhs_y, rhs_x, Q=Qq,
                                epsdiag=epsdiag, refine_tol=refine_tol,
                                max_refine=max_refine)
             dz = mu / x - z - D * dx
@@ -147,7 +165,53 @@ def solve_canon(A, b, c, f, *,
         return IntptState(x2, z2, y2, w2, s.iter + 1, new_status,
                           normr, norms)
 
-    out = jax.lax.while_loop(cond, body, state)
-    status = jnp.where(out.status == int(Status.RUNNING),
-                       int(Status.ITERATION_LIMIT), out.status)
-    return status, out.x, out.y, out.w, out.z, out.iter
+    return jax.lax.while_loop(cond, body, init)
+
+
+def finish_state(state: IntptState, max_iter):
+    status = jnp.where(
+        (state.status == int(Status.RUNNING)) & (state.iter >= max_iter),
+        int(Status.ITERATION_LIMIT), state.status)
+    return status, state.x, state.y, state.w, state.z, state.iter
+
+
+def solve_canon(A, b, c, f, *,
+                Q=None,
+                max_iter: int = DEFAULT_MAX_ITER,
+                eps: float = 1.0e-6,
+                delta: float = 0.02,
+                step_factor: float = 0.9,
+                epsdiag: float = 1.0e-14,
+                refine_tol: float = 1.0e-10,
+                max_refine: int = 8,
+                trace: bool = False,
+                factor_dtype=None,
+                pause_gap: float = 0.0,
+                div_detect: bool = True,
+                init: IntptState | None = None):
+    """Solve max c'x - x'Qx/2, Ax <= b, x >= 0 (dense canonical).
+
+    Q=None is the pure LP the reference's shipped solvers handle; a PSD Q
+    is the QUADS quadratic extension — the reference parses and stores it
+    (iolp.c:583-645, lp.h Q fields) and its KKT engine reserves the block
+    for it (ldlt.c:253-257), but no shipped solver passes it through; here
+    the same Newton system [[-E, A], [A', D+Q]] solves the QP directly.
+
+    Returns (status, x, y, w, z, iterations, state).
+    """
+    if isinstance(factor_dtype, str):
+        factor_dtype = {"f32": jnp.float32, "f64": None,
+                        "none": None}[factor_dtype]
+    if init is None:
+        init = init_state(A)
+    has_q = Q is not None
+    Qarg = Q if has_q else jnp.zeros((), A.dtype)
+    out = _intpt_loop(A, b, c, f, Qarg, init,
+                      max_iter=max_iter, eps=eps, delta=delta,
+                      step_factor=step_factor, epsdiag=epsdiag,
+                      refine_tol=refine_tol, pause_gap=pause_gap,
+                      div_detect=div_detect,
+                      max_refine=max_refine, trace=trace,
+                      factor_dtype=factor_dtype, has_q=has_q)
+    status, x, y, w, z, iters = finish_state(out, max_iter)
+    return status, x, y, w, z, iters, out

@@ -9,6 +9,17 @@ method names to jitted canonical-form solvers:
     hsdls   — HSD long-step                      (src/ipo/hsdls.c)
     pd      — parametric self-dual simplex       (src/simpo/pd.c)
     twophase— two-phase simplex                  (src/simpo/2phase.c)
+
+Precision ladder (cfg.precision == "mixed", the default): the IPM solvers
+run stage 1 entirely in f32 — data, factor, refinement all MXU-native —
+until mu (or the duality gap) crosses the stage boundary, then stage 2
+resumes the SAME state in f64 to the reference tolerance.  The pause/resume
+state is also the warm-start/checkpoint surface (utils/checkpoint.py).
+
+Shape policy: canonical dims are padded to size classes (powers of two,
+floor 256) by default so every problem of a class shares one compiled
+executable — on this platform a fresh XLA program costs ~20s-minutes to
+compile, making per-problem shapes the #1 performance bug of naive ports.
 """
 
 from __future__ import annotations
@@ -27,18 +38,148 @@ from . import hsd as _hsd
 from . import simplex as _simplex
 
 
+def size_class(dim: int, floor: int = 256) -> int:
+    """Smallest power-of-two class >= dim (>= floor)."""
+    c = floor
+    while c < dim:
+        c *= 2
+    return c
+
+
+def _check_finite(state) -> bool:
+    x = np.asarray(state.x)
+    return bool(np.all(np.isfinite(x))) and bool(np.isfinite(np.asarray(state.phi) if hasattr(state, "phi") else 0.0))
+
+
+def _deadline_iter_budget(cfg: SolverConfig, max_iter: int):
+    """Chunked iteration budgets honoring cfg.time_limit (TIMLIM header).
+
+    max_iter is a traced scalar to the loops, so chunking costs no
+    recompiles; with no time limit this is a single full-budget chunk.
+    """
+    if not np.isfinite(cfg.time_limit):
+        return [max_iter], None
+    chunk = max(1, min(25, max_iter))
+    return [chunk] * ((max_iter + chunk - 1) // chunk), time.monotonic() + cfg.time_limit
+
+
+def resolve_precision(cfg: SolverConfig, shape) -> str:
+    """"auto" -> "mixed" only where the f32 sprint pays (big factored dim);
+    small problems run f64 direct with reference-parity iteration paths."""
+    if cfg.precision != "auto":
+        return cfg.precision
+    return "mixed" if min(shape) >= cfg.mixed_min_dim else "f64"
+
+
+def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
+                mk_args32, mk_args64, stage_knob: float, shape):
+    """Shared two-stage driver for the IPM solvers.
+
+    run_stage(args, init, max_iter, pause, factor_dtype) -> state.
+    Returns the final f64 state.
+    """
+    precision = resolve_precision(cfg, shape)
+    chunks, deadline = _deadline_iter_budget(cfg, max_iter)
+
+    def run_to_end(args, state, factor_dtype):
+        for budget in chunks:
+            state = run_stage(args, state, budget, 0.0, factor_dtype)
+            st = int(np.asarray(state.status))
+            if (st != int(Status.RUNNING)
+                    or int(np.asarray(state.iter)) >= max_iter):
+                break
+            if deadline is not None and time.monotonic() > deadline:
+                break
+        return state
+
+    state = None
+    warm = False
+    if precision == "mixed":
+        args32 = mk_args32()
+        state = solver_mod.init_state(args32[0])
+        for budget in chunks:
+            state = run_stage(args32, state, budget, stage_knob, None)
+            st = int(np.asarray(state.status))
+            if (st != int(Status.RUNNING)
+                    or int(np.asarray(state.iter)) >= max_iter):
+                break
+            if deadline is not None and time.monotonic() > deadline:
+                break
+            # stage boundary reached?  (pause exits with status RUNNING)
+            if _stage_done(solver_mod, args32[0], state, stage_knob):
+                break
+        if not _check_finite(state):
+            state = None        # f32 diverged: restart clean in f64
+        else:
+            state = solver_mod.cast_state(state, jnp.float64)
+            warm = True
+
+    args64 = mk_args64()
+    if state is None:
+        state = solver_mod.init_state(args64[0])
+    factor_dtype = jnp.float32 if precision == "f32factor" else None
+    state = run_to_end(args64, state, factor_dtype)
+
+    # a warm-started polish that exhausts the budget gets one clean f64
+    # retry: the f32 sprint can wander on degenerate problems, and the
+    # reference's iteration-limit outcomes should reflect f64 behavior
+    if (warm and int(np.asarray(state.status)) == int(Status.RUNNING)
+            and int(np.asarray(state.iter)) >= max_iter
+            and (deadline is None or time.monotonic() < deadline)):
+        state = run_to_end(args64, solver_mod.init_state(args64[0]),
+                           factor_dtype)
+    return state
+
+
+def _stage_done(solver_mod, A, state, knob: float) -> bool:
+    m, n = A.shape
+    if solver_mod is _hsd:
+        mu = (np.asarray(state.z) @ np.asarray(state.x)
+              + np.asarray(state.w) @ np.asarray(state.y)
+              + float(np.asarray(state.phi)) * float(np.asarray(state.psi))
+              ) / (n + m + 1)
+        return mu <= knob
+    gap = (np.asarray(state.z) @ np.asarray(state.x)
+           + np.asarray(state.y) @ np.asarray(state.w))
+    return gap <= knob
+
+
 def _solve_intpt(canon: CanonLP, cfg: SolverConfig):
     max_iter = cfg.max_iter or _intpt.DEFAULT_MAX_ITER
     trace = cfg.verbose >= 2
     if trace:
         print(_intpt.INTPT_BANNER, flush=True)
-    A = jnp.asarray(canon.A, cfg.dtype)
-    Q = None if canon.Q is None else jnp.asarray(canon.Q, cfg.dtype)
-    return _intpt.solve_canon(
-        A, jnp.asarray(canon.b, cfg.dtype), jnp.asarray(canon.c, cfg.dtype),
-        canon.f, Q=Q, max_iter=max_iter, eps=cfg.ipm_eps, delta=cfg.delta,
-        step_factor=cfg.step_factor, epsdiag=cfg.epsdiag,
-        refine_tol=cfg.refine_tol, max_refine=cfg.max_refine, trace=trace)
+    has_q = canon.Q is not None
+
+    def mk(dtype):
+        A = jnp.asarray(canon.A, dtype)
+        Q = jnp.asarray(canon.Q, dtype) if has_q else None
+        return (A, jnp.asarray(canon.b, dtype), jnp.asarray(canon.c, dtype),
+                Q)
+
+    def run_stage(args, init, budget, pause, factor_dtype):
+        A, b, c, Q = args
+        total = min(max_iter, int(np.asarray(init.iter)) + budget)
+        # the f32 sprint stage can't hit f64 refinement targets; relax
+        # them there (traced scalars — no recompile)
+        sprint = pause > 0.0
+        return _intpt.solve_canon(
+            A, b, c, canon.f, Q=Q, max_iter=total, eps=cfg.ipm_eps,
+            delta=cfg.delta, step_factor=cfg.step_factor,
+            epsdiag=max(cfg.epsdiag, 1e-8) if sprint else cfg.epsdiag,
+            refine_tol=max(cfg.refine_tol, 1e-4) if sprint else cfg.refine_tol,
+            max_refine=cfg.max_refine, trace=trace,
+            factor_dtype=factor_dtype, pause_gap=pause,
+            div_detect=not sprint, init=init)[-1]
+
+    # intpt's stage boundary is on the duality gap (its own stop is
+    # absolute eps on residuals+gap, intpt.c:30); stage1_mu * (n+m) keeps
+    # the boundary proportional to the mu the gap corresponds to
+    knob = cfg.stage1_mu * sum(canon.A.shape)
+    state = _run_staged(_intpt, run_stage, cfg, max_iter,
+                        lambda: mk(jnp.float32), lambda: mk(jnp.float64),
+                        knob, canon.A.shape)
+    return _intpt.finish_state(state, max_iter)
 
 
 def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
@@ -47,14 +188,28 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
     trace = cfg.verbose >= 2
     if trace:
         print(_hsd.HSD_BANNER, flush=True)
-    A = jnp.asarray(canon.A, cfg.dtype)
-    return _hsd.solve_canon(
-        A, jnp.asarray(canon.b, cfg.dtype), jnp.asarray(canon.c, cfg.dtype),
-        canon.f, max_iter=max_iter, eps=cfg.hsd_eps,
-        step_factor=cfg.hsd_step_factor, long_step=long_step, beta=cfg.beta,
-        epsdiag=cfg.epsdiag, refine_tol=cfg.refine_tol,
-        max_refine=cfg.max_refine, trace=trace,
-        factor_dtype=cfg.factor_dtype, hybrid_mu=cfg.hybrid_mu)
+
+    def mk(dtype):
+        return (jnp.asarray(canon.A, dtype), jnp.asarray(canon.b, dtype),
+                jnp.asarray(canon.c, dtype))
+
+    def run_stage(args, init, budget, pause, factor_dtype):
+        A, b, c = args
+        total = min(max_iter, int(np.asarray(init.iter)) + budget)
+        sprint = pause > 0.0
+        return _hsd.solve_canon(
+            A, b, c, canon.f, max_iter=total, eps=cfg.hsd_eps,
+            step_factor=cfg.hsd_step_factor, long_step=long_step,
+            beta=cfg.beta,
+            epsdiag=max(cfg.epsdiag, 1e-8) if sprint else cfg.epsdiag,
+            refine_tol=max(cfg.refine_tol, 1e-4) if sprint else cfg.refine_tol,
+            max_refine=cfg.max_refine, trace=trace,
+            factor_dtype=factor_dtype, pause_mu=pause, init=init)[-1]
+
+    state = _run_staged(_hsd, run_stage, cfg, max_iter,
+                        lambda: mk(jnp.float32), lambda: mk(jnp.float64),
+                        cfg.stage1_mu, canon.A.shape)
+    return _hsd.finish_state(state, max_iter)
 
 
 def _solve_pd(canon: CanonLP, cfg: SolverConfig):
@@ -83,10 +238,15 @@ def get_solver(method: str):
 
 
 def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
-          pad_to: int = 1) -> Solution:
-    """Canonicalize and solve an LP; the analogue of solvelp (solve.c:28)."""
+          pad_to: int | str = "auto") -> Solution:
+    """Canonicalize and solve an LP; the analogue of solvelp (solve.c:28).
+
+    pad_to: "auto" (default) pads canonical dims to power-of-two size
+    classes so problems share compiled executables; an int pads to that
+    multiple (1 = exact dims).
+    """
     cfg = config or SolverConfig()
-    cfg = cfg.with_(method=method)
+    cfg = cfg.with_(method=method).apply_lp_params(lp)
     if lp.qnz and method != "intpt":
         # the reference's shipped solvers silently ignore Q (its ldltfac
         # builds a private zero-Q LP, ldlt.c:140-144); we instead route
@@ -95,13 +255,21 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
             print(f"QUADS present: routing method {method!r} -> 'intpt' "
                   "(QP-capable)", flush=True)
         method = "intpt"
-    canon = canonicalize(lp, pad_to=pad_to, dtype=cfg.dtype,
+    canon = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
                          free_vars=cfg.free_vars)
     if canon.status != int(Status.RUNNING):
         n, m0 = lp.n, lp.m
         return Solution(status=canon.status, x=np.zeros(n), y=np.zeros(m0),
                         w=np.zeros(m0), z=np.zeros(n), primal_obj=0.0,
                         dual_obj=0.0)
+    if pad_to == "auto":
+        canon = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
+                             free_vars=cfg.free_vars,
+                             pad_rows_to=size_class(canon.m),
+                             pad_cols_to=size_class(canon.n))
+    elif pad_to != 1:
+        canon = canonicalize(lp, pad_to=pad_to, dtype=cfg.dtype,
+                             free_vars=cfg.free_vars)
     t0 = time.perf_counter()
     status, x, y, w, z, iters = get_solver(method)(canon, cfg)
     x = np.asarray(x)

@@ -125,8 +125,8 @@ def _chunked_loop(cond, body, state, Afull, max_iter, refresh_every):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_iter", "refresh_every", "trace"))
-def _pd_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int,
+                   static_argnames=("refresh_every", "trace"))
+def _pd_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
              trace: bool = False):
     m, N = Afull.shape
     n = N - m
@@ -288,8 +288,8 @@ def _tp_pivot(Afull, s: TpState, col_in, col_out, dy_N, dx_B, refresh_every):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_iter", "refresh_every", "trace"))
-def _twophase_loop(Afull, b, c, key, *, max_iter: int, refresh_every: int,
+                   static_argnames=("refresh_every", "trace"))
+def _twophase_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
                    trace: bool = False):
     m, N = Afull.shape
     n = N - m

@@ -16,13 +16,27 @@ SPD *normal equations* and Cholesky-factor them on the MXU:
 The primal-vs-dual choice mirrors the reference's ADA'-vs-A'DA fill
 heuristic (ldlt.c:687-717) but here is a static shape decision.  The
 epsdiag clamp mirrors ldlt.c:235-236; refinement stops at
-1e-10 * (max|rhs|+1) or when the residual stops halving (ldlt.c:411),
+refine_tol * (max|rhs|+1) or when the residual stops halving (ldlt.c:411),
 reverting the last correction if it made things worse (ldlt.c:413-416).
+
+Numerical failure handling mirrors the reference's epsdiag escalation
+(ldlt.c:293-306): if the Cholesky factor contains NaN/Inf the matrix is
+re-factored with a geometrically growing Tikhonov term.  The reference's
+additional LDL' luxury — exact factorization of the augmented quasi-definite
+K itself — is deliberately NOT compiled into the iteration program: a dense
+O((m+n)^3) fallback branch quintuples compile time on this platform and is
+never profitable on MXU hardware; the two-stage f32->f64 precision ladder
+(models/registry.py) plays its role instead.
 
 Q (quadratic objective) enters the dual form's n x n block exactly where the
 reference adds it to K's upper-left block (ldlt.c:253-257); with the primal
 form Q must be None (the reference's primal ordering likewise only pays off
 for LPs).
+
+All tolerances are TRACED scalars, not Python constants: changing a
+tolerance must not trigger a recompile (fresh-XLA-program compiles cost
+minutes on this platform; see BENCH notes).  Only shapes, dtypes and code
+paths are static.
 """
 
 from __future__ import annotations
@@ -45,13 +59,13 @@ class KKTFactor(NamedTuple):
     L is the lower factor of Ms = S M S with S = diag(1/sqrt(diag M));
     s carries the scaling vector.  L may be a lower precision than the
     problem data (mixed-precision path) — solves cast through L.dtype and
-    the f64 refinement in kkt_solve recovers accuracy.
+    the refinement in kkt_solve recovers accuracy.
     """
     L: jax.Array
     s: jax.Array
 
 
-def kkt_factor(A, E, D, epsdiag: float, Q=None, factor_dtype=None):
+def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None):
     """Cholesky-factor the reduced normal-equations matrix.
 
     E, D are clamped below by epsdiag like the reference clamps K's
@@ -59,7 +73,7 @@ def kkt_factor(A, E, D, epsdiag: float, Q=None, factor_dtype=None):
     to unit diagonal before factoring — the diagonal spread of IPM normal
     matrices is exactly what kills their conditioning, so this both
     stabilizes f64 and makes an f32 (MXU-speed) factor usable, with the
-    f64 refinement in kkt_solve recovering the remaining digits.
+    refinement in kkt_solve recovering the remaining digits.
 
     Near convergence the scaled matrix can still go numerically indefinite;
     the reference escalates its diagonal perturbation 10x when the factor
@@ -67,9 +81,13 @@ def kkt_factor(A, E, D, epsdiag: float, Q=None, factor_dtype=None):
     a geometrically growing Tikhonov term until the factor is NaN-free.
     """
     m, n = A.shape
+    epsdiag = jnp.asarray(epsdiag, A.dtype)
     Ec = jnp.maximum(E, epsdiag)
     Dc = jnp.maximum(D, epsdiag)
-    f32_path = factor_dtype is not None and jnp.dtype(factor_dtype) == jnp.float32
+    # the fused Pallas scaled-syrk covers every all-f32 or f32-factor case
+    f32_path = (factor_dtype is not None
+                and jnp.dtype(factor_dtype) == jnp.float32
+                ) or (A.dtype == jnp.float32 and factor_dtype is None)
     if f32_path:
         # fused Pallas scaled-syrk: forms M directly in f32 on the MXU
         # (falls back to jnp off-TPU / non-tile shapes)
@@ -89,10 +107,10 @@ def kkt_factor(A, E, D, epsdiag: float, Q=None, factor_dtype=None):
         if Q is not None:
             M = M + Q
 
-    # the scaling vector stays at DATA precision (f64): solves multiply
-    # through it, and truncating it would cap refinement at f32 accuracy
+    # the scaling vector stays at DATA precision: solves multiply through
+    # it, and truncating it would cap refinement at factor accuracy
     d = jnp.diagonal(M).astype(A.dtype)
-    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-300, A.dtype)))
+    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-300 if A.dtype == jnp.float64 else 1e-30, A.dtype)))
     s_m = s.astype(M.dtype)
     Ms = M * s_m[:, None] * s_m[None, :]
     if factor_dtype is not None:
@@ -138,43 +156,20 @@ def _raw_solve(A, Ec, Dc, fac: KKTFactor, ry, rx, Q=None):
     return dy, dx
 
 
-def _augmented_qr_solve(A, E, D, rhs_y, rhs_x, Q=None):
-    """Exact fallback: QR solve of the full quasi-definite K.
-
-    The reference's factorization operates on the augmented K itself
-    (ldlt.c:189-200), which is what keeps it accurate when the E/D spread
-    reaches 1e13+ near convergence and any normal-equations reduction loses
-    the problem.  A dense Householder-QR solve of K is the TPU-safe dense
-    equivalent (TPU XLA has no f64 LU); it is O((m+n)^3) so kkt_solve only
-    reaches for it when the refined normal-equations residual is still poor.
-    """
-    from .linalg import qr_solve
-    m, n = A.shape
-    top = jnp.concatenate([-jnp.diag(E), A], axis=1)
-    lower_right = jnp.diag(D) if Q is None else jnp.diag(D) + Q
-    bot = jnp.concatenate([A.T, lower_right], axis=1)
-    K = jnp.concatenate([top, bot], axis=0)
-    sol = qr_solve(K, jnp.concatenate([rhs_y, rhs_x]))
-    return sol[:m], sol[m:]
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "epsdiag", "refine_tol", "max_refine", "lu_fallback", "switch_tol"))
 def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
-              epsdiag: float = 1.0e-14,
-              refine_tol: float = 1.0e-10,
-              max_refine: int = 8,
-              lu_fallback: bool = True,
-              switch_tol: float = 1.0e-9):
+              epsdiag=1.0e-14,
+              refine_tol=1.0e-10,
+              max_refine: int = 8):
     """Solve [[-E, A], [A', D+Q]] [dy; dx] = [rhs_y; rhs_x] with refinement.
 
     The residuals are evaluated against the TRUE (unclamped) E, D while the
     factor uses the clamped ones, exactly like the reference's solve()
     (ldlt.c:389-398 uses the caller's Dn/Dm; inv_num clamped the diagonal).
-    If after refinement the relative residual still exceeds switch_tol and
-    lu_fallback is enabled, re-solve via pivoted LU of the augmented system
-    (a lax.cond — the expensive branch only executes when triggered).
+    epsdiag / refine_tol are traced scalars; max_refine bounds the
+    refinement while_loop (static — it shapes the program).
     """
+    epsdiag = jnp.asarray(epsdiag, A.dtype)
+    refine_tol = jnp.asarray(refine_tol, A.dtype)
     Ec = jnp.maximum(E, epsdiag)
     Dc = jnp.maximum(D, epsdiag)
 
@@ -215,12 +210,24 @@ def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
     worse = (maxrs > oldmaxrs) & (it > 0)
     dy = jnp.where(worse, dy - ey, dy)
     dx = jnp.where(worse, dx - ex, dx)
-    maxrs = jnp.where(worse, oldmaxrs, maxrs)
-
-    if lu_fallback:
-        dy, dx = jax.lax.cond(
-            maxrs > switch_tol * maxbc,
-            lambda _: _augmented_qr_solve(A, E, D, rhs_y, rhs_x, Q),
-            lambda _: (dy, dx),
-            operand=None)
     return dy, dx
+
+
+def augmented_qr_solve(A, E, D, rhs_y, rhs_x, Q=None):
+    """Exact dense solve of the full quasi-definite K via Householder QR.
+
+    The reference's factorization operates on the augmented K itself
+    (ldlt.c:189-200), which is what keeps it accurate when the E/D spread
+    reaches 1e13+ near convergence.  This O((m+n)^3) routine is the dense
+    TPU-safe equivalent (TPU XLA has no f64 LU); it is a standalone
+    diagnostic/verification tool — NOT compiled into solver loops, where its
+    cost (compile and run) is never justified.
+    """
+    from .linalg import qr_solve
+    m, n = A.shape
+    top = jnp.concatenate([-jnp.diag(E), A], axis=1)
+    lower_right = jnp.diag(D) if Q is None else jnp.diag(D) + Q
+    bot = jnp.concatenate([A.T, lower_right], axis=1)
+    K = jnp.concatenate([top, bot], axis=0)
+    sol = qr_solve(K, jnp.concatenate([rhs_y, rhs_x]))
+    return sol[:m], sol[m:]

@@ -62,7 +62,7 @@ def _syrk_kernel(a1_ref, a2_ref, s_ref, e_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_k",
                                              "interpret"))
-def scaled_syrk_pallas(A, s, e, *, block_m: int = 256, block_k: int = 512,
+def scaled_syrk_pallas(A, s, e, *, block_m: int = 512, block_k: int = 512,
                        interpret: bool = False):
     """Tiled Pallas scaled-syrk (f32 accumulate).
 

@@ -7,6 +7,12 @@ ONE vmapped, jitted while_loop — divergent per-instance iteration counts are
 handled by the solvers' status masking (a converged lane no-ops its
 updates), the run-to-fixpoint pattern from SURVEY.md section 7 hard part #3.
 
+The batched IPM runs the same two-stage f32 -> f64 precision ladder as the
+single-instance path (models/registry.py): stage 1 solves every lane in
+pure f32 at MXU speed until each lane's mu crosses the stage boundary (the
+vmapped while_loop runs until ALL lanes pause), stage 2 resumes the casted
+states in f64 to the reference tolerance (hsd.c:24).
+
 With a mesh, the stacked batch is sharded over the "batch" axis
 (data parallelism over instances); A's column dim may additionally shard
 over "model".
@@ -71,12 +77,19 @@ def stack_class(entries, mp: int, np_: int, dtype=np.float64):
     return A, b, c
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_iter", "eps", "step_factor", "long_step", "beta",
-                     "epsdiag", "refine_tol", "max_refine", "factor_dtype",
-                     "hybrid_mu"),
-)
+def _run_batch(A, b, c, init, *, max_iter, eps, step_factor, beta,
+               epsdiag, refine_tol, pause_mu, long_step, max_refine,
+               factor_dtype):
+    def one(Ai, bi, ci, st):
+        return _hsd._hsd_loop(
+            Ai, bi, ci, 0.0, st, max_iter=max_iter, eps=eps,
+            step_factor=step_factor, beta=beta, epsdiag=epsdiag,
+            refine_tol=refine_tol, pause_mu=pause_mu,
+            long_step=long_step, max_refine=max_refine,
+            factor_dtype=factor_dtype)
+    return jax.vmap(one)(A, b, c, init)
+
+
 def solve_batch_hsd(A, b, c, *,
                     max_iter: int = 200,
                     eps: float = 1.0e-12,
@@ -86,20 +99,41 @@ def solve_batch_hsd(A, b, c, *,
                     epsdiag: float = 1.0e-14,
                     refine_tol: float = 1.0e-10,
                     max_refine: int = 4,
-                    factor_dtype: str = "f64",
-                    hybrid_mu: float = 1.0e-4):
-    """vmapped HSD over a stacked class (B, mp, np_).
+                    precision: str = "mixed",
+                    stage1_mu: float = 1.0e-4):
+    """Two-stage vmapped HSD over a stacked class (B, mp, np_).
 
-    lu_fallback is disabled: under vmap, lax.cond lowers to a select that
-    would execute the O((m+n)^3) fallback for every lane every iteration;
-    the regularized Cholesky + refinement path carries the batch.
+    Returns (status, x, y, w, z, iterations), each batched over B.
     """
-    solver = functools.partial(
-        _hsd.solve_canon, max_iter=max_iter, eps=eps,
-        step_factor=step_factor, long_step=long_step, beta=beta,
-        epsdiag=epsdiag, refine_tol=refine_tol, max_refine=max_refine,
-        lu_fallback=False, factor_dtype=factor_dtype, hybrid_mu=hybrid_mu)
-    return jax.vmap(lambda Ai, bi, ci: solver(Ai, bi, ci, 0.0))(A, b, c)
+    knobs = dict(max_iter=max_iter, eps=eps, step_factor=step_factor,
+                 beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
+                 long_step=long_step, max_refine=max_refine)
+    if precision == "mixed":
+        # the f32 sprint can't hit f64 refinement targets; relax them there
+        knobs32 = dict(knobs, epsdiag=max(epsdiag, 1e-8),
+                       refine_tol=max(refine_tol, 1e-4))
+        A32 = A.astype(jnp.float32)
+        st = jax.vmap(_hsd.init_state)(A32)
+        st = _run_batch(A32, b.astype(jnp.float32), c.astype(jnp.float32),
+                        st, pause_mu=stage1_mu, factor_dtype=None, **knobs32)
+        st = _hsd.cast_state(st, jnp.float64)
+        # lanes that went non-finite in f32 restart clean in f64
+        finite = jnp.all(jnp.isfinite(st.x), axis=1) & jnp.isfinite(st.phi)
+        fresh = jax.vmap(_hsd.init_state)(A.astype(jnp.float64))
+        st = jax.tree.map(
+            lambda warm, cold: jnp.where(
+                finite.reshape((-1,) + (1,) * (warm.ndim - 1)), warm, cold),
+            st, fresh)
+        factor_dtype = None
+    elif precision == "f32factor":
+        st = jax.vmap(_hsd.init_state)(A)
+        factor_dtype = jnp.float32
+    else:
+        st = jax.vmap(_hsd.init_state)(A)
+        factor_dtype = None
+    out = _run_batch(A, b, c, st, pause_mu=0.0, factor_dtype=factor_dtype,
+                     **knobs)
+    return jax.vmap(_hsd.finish_state, in_axes=(0, None))(out, max_iter)
 
 
 def shard_batch(arrays, mesh, model_axis_dims=()):
