@@ -64,3 +64,76 @@ def test_sum2_ill_conditioned():
     # sum of [1e16, 1, -1e16, 1, ...] style cancellation
     a = jnp.asarray([1e16, 3.14159, -1e16, 2.71828, 1.0, -1.0])
     assert float(q.sum2(a)) == pytest.approx(3.14159 + 2.71828, rel=1e-15)
+
+
+def test_matvec2_beats_plain_matvec_on_cancellation():
+    """matvec2 must survive catastrophic cancellation that wipes out a
+    plain f64 matvec (the scenario QuadPrec existed for)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vanderbei_tpu.ops.quad import matvec2
+    A = np.array([[1e16, 1.0, -1e16, 1.0],
+                  [3.0, 1e14, 2.0, -1e14]])
+    x = np.array([1.0, 1.0, 1.0, 1.0])
+    exact = np.array([2.0, 5.0])
+    comp = np.asarray(matvec2(jnp.asarray(A), jnp.asarray(x)))
+    np.testing.assert_allclose(comp, exact, rtol=0, atol=1e-12)
+
+
+def test_matvec2_f32_reaches_f64_accuracy():
+    import numpy as np
+    import jax.numpy as jnp
+    from vanderbei_tpu.ops.quad import matvec2
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(17, 33))
+    x = rng.normal(size=33)
+    ref = A @ x                                   # f64 reference
+    comp32 = np.asarray(matvec2(jnp.asarray(A, jnp.float32),
+                                jnp.asarray(x, jnp.float32)))
+    plain32 = np.asarray(jnp.asarray(A, jnp.float32) @ jnp.asarray(x, jnp.float32))
+    err_comp = np.max(np.abs(comp32 - ref))
+    err_plain = np.max(np.abs(plain32 - ref))
+    assert err_comp < 1e-6
+    assert err_comp <= err_plain
+
+
+def test_dd_precision_mode_end_to_end():
+    """precision='dd' (QuadPrec-equivalent) solves to the golden optimum."""
+    import os
+    import pytest as _pytest
+    from vanderbei_tpu.io import netlib
+    from vanderbei_tpu.core.config import SolverConfig
+    from vanderbei_tpu.core.status import Status
+    import vanderbei_tpu as vt
+    if not os.path.exists(netlib.netlib_dir()):
+        _pytest.skip("netlib corpus absent")
+    lp = netlib.load("AFIRO")
+    sol = vt.solve(lp, config=SolverConfig(precision="dd", hsd_eps=1e-13))
+    golden = netlib.golden_objective("AFIRO")
+    assert sol.status == int(Status.OPTIMAL)
+    assert abs(sol.primal_obj - golden) / abs(golden) < 1e-8
+
+
+def test_sigfig_header_selects_dd(tmp_path):
+    """SIGFIG > 9 in the MPS header auto-selects the compensated mode and
+    tightens the stop (config.apply_lp_params)."""
+    from vanderbei_tpu.core.config import SolverConfig
+    import vanderbei_tpu as vt
+    text = "\n".join([
+        "SIGFIG        11",
+        "NAME          S",
+        "ROWS",
+        " N  obj",
+        " L  r1",
+        "COLUMNS",
+        "    x         obj       1.0        r1        1.0",
+        "RHS",
+        "    rhs       r1        4.0",
+        "ENDATA",
+    ]) + "\n"
+    p = tmp_path / "s.mps"
+    p.write_text(text)
+    lp = vt.read_mps(str(p))
+    cfg = SolverConfig().apply_lp_params(lp)
+    assert cfg.precision == "dd"
+    assert cfg.hsd_eps == 1e-15

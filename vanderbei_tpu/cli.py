@@ -36,8 +36,9 @@ def main(argv=None) -> int:
                    help="free (l=-inf) variables: 'reject' matches the "
                         "reference (status 3); 'split' solves them")
     p.add_argument("--precision", default=None,
-                   choices=("auto", "mixed", "f32factor", "f64"),
-                   help="precision ladder (default: auto)")
+                   choices=("auto", "mixed", "f32factor", "f64", "dd"),
+                   help="precision ladder (default: auto); 'dd' is the "
+                        "QuadPrec-equivalent compensated mode")
     p.add_argument("--time-limit", type=float, default=None,
                    help="wall-clock budget in seconds (TIMLIM)")
     args = p.parse_args(argv)

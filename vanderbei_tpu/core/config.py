@@ -52,6 +52,10 @@ class SolverConfig:
     #            path can wander on degenerate problems).
     #   "f32factor": f64 data, f32 Cholesky factor + f64 refinement.
     #   "f64":   single-stage f64 (closest to the reference's arithmetic).
+    #   "dd":    QuadPrec-equivalent (reference -DQuadPrec, Quad.h:43-44):
+    #            f64 stage with residuals/inner products evaluated in
+    #            DOUBLE the working precision via error-free transforms
+    #            (ops/quad.matvec2 / dot2) — for sf_req > 8 accuracy.
     precision: str = "auto"
     stage1_mu: float = 1.0e-4       # mixed-mode stage boundary (mu)
     mixed_min_dim: int = 1024       # "auto": mixed only at/above this dim
@@ -96,8 +100,13 @@ class SolverConfig:
         if "SIGFIG" in explicit:
             # sf_req significant figures; the defaults sf_req=8 (iolp.c:96)
             # correspond to the reference stops mu<1e-12 (hsd.c:24) and
-            # eps=1e-6 (intpt.c:30) — scale both with the request
+            # eps=1e-6 (intpt.c:30) — scale both with the request; beyond
+            # ~10 figures plain f64 residuals drown in roundoff, which is
+            # what the reference's QuadPrec rebuild was for — switch to the
+            # compensated-arithmetic mode automatically
             sf = int(lp.sf_req)
             cfg = cfg.with_(hsd_eps=10.0 ** (-(sf + 4)),
                             ipm_eps=10.0 ** (-(sf - 2)))
+            if sf > 9 and cfg.precision in ("auto", "mixed", "f64"):
+                cfg = cfg.with_(precision="dd")
         return cfg

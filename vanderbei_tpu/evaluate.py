@@ -112,8 +112,8 @@ def run_sweep(method: str = "hsd", out_dir: str | None = None,
                   f"iters={iters} {elapsed:.2f}s", flush=True)
         if out_dir:
             write_record(out_dir, method, rec)
-    if out_dir:
-        write_readme(out_dir, method, records)
+            write_readme(out_dir, method, records)   # incremental: a crash
+            # mid-sweep leaves a valid partial results tree
     return records
 
 
@@ -201,7 +201,7 @@ def main(argv=None) -> int:
     p.add_argument("--time-limit", type=float, default=None,
                    help="per-problem wall budget in seconds")
     p.add_argument("--precision", default=None,
-                   choices=("mixed", "f32factor", "f64"))
+                   choices=("auto", "mixed", "f32factor", "f64", "dd"))
     p.add_argument("--free-vars", default="split",
                    choices=("split", "reject"),
                    help="'split' solves the free-variable instances the "

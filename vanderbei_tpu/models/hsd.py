@@ -117,7 +117,8 @@ def make_step(A, b, c, *,
               max_refine: int = 8,
               trace: bool = False,
               f=0.0,
-              factor_dtype=None):
+              factor_dtype=None,
+              compensated: bool = False):
     """Build the single-iteration step function state -> state.
 
     This is the framework's flagship 'forward step': one KKT factorization,
@@ -131,18 +132,30 @@ def make_step(A, b, c, *,
     """
     m, n = A.shape
     dtype = A.dtype
+    if compensated:
+        # QuadPrec-mode arithmetic (reference -DQuadPrec, Quad.h:43-44):
+        # residuals and inner products evaluated in twice the working
+        # precision via error-free transforms (ops/quad.py)
+        from ..ops.quad import matvec2, dot2
+        mv = matvec2
+        mvT = lambda M, v: matvec2(M.T, v)
+        dot = dot2
+    else:
+        mv = lambda M, v: M @ v
+        mvT = lambda M, v: M.T @ v
+        dot = lambda a, b: a @ b
 
     def body(s: HsdState):
         x, z, y, w, phi, psi = s.x, s.z, s.y, s.w, s.phi, s.psi
 
-        mu = (z @ x + w @ y + phi * psi) / (n + m + 1)
+        mu = (dot(z, x) + dot(w, y) + phi * psi) / (n + m + 1)
         if long_step:
             delta = jnp.asarray(2.0 * (1.0 - beta), dtype)  # hsdls.c:113
         else:
             delta = jnp.where(s.iter % 2 == 0, 0.0, 1.0)    # hsd.c:138-142
 
-        primal_obj = c @ x
-        dual_obj = b @ y
+        primal_obj = dot(c, x)
+        dual_obj = dot(b, y)
 
         # stopping rule (hsd.c:155-176 / hsdls.c:134-154)
         converged = mu < eps
@@ -160,8 +173,8 @@ def make_step(A, b, c, *,
 
         # infeasibilities (hsd.c:182-198); computed before stepping, in the
         # reference's order, so the trace row matches its table
-        rho = A @ x - b * phi + w
-        sigma = -(A.T @ y) + c * phi + z
+        rho = mv(A, x) - b * phi + w
+        sigma = -mvT(A, y) + c * phi + z
 
         if trace:
             normr = jnp.sqrt(rho @ rho) / phi
@@ -183,13 +196,13 @@ def make_step(A, b, c, *,
             fac = kkt_factor(A, E, D, epsdiag, factor_dtype=factor_dtype)
             fy, fx = kkt_solve(A, E, D, fac, rho_rhs, -sigma_rhs,
                                epsdiag=epsdiag, refine_tol=refine_tol,
-                               max_refine=max_refine)
+                               max_refine=max_refine, compensated=compensated)
             gy, gx = kkt_solve(A, E, D, fac, -b, -c,
                                epsdiag=epsdiag, refine_tol=refine_tol,
-                               max_refine=max_refine)
+                               max_refine=max_refine, compensated=compensated)
 
-            dphi = ((c @ fx - b @ fy + gamma)
-                    / (c @ gx - b @ gy - psi / phi))   # hsd.c:230-231
+            dphi = ((dot(c, fx) - dot(b, fy) + gamma)
+                    / (dot(c, gx) - dot(b, gy) - psi / phi))  # hsd.c:230-231
             dx = fx - gx * dphi
             dy = fy - gy * dphi
             dz = delta * mu / x - z - D * dx
@@ -229,7 +242,8 @@ def make_step(A, b, c, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("long_step", "max_refine", "trace", "factor_dtype"),
+    static_argnames=("long_step", "max_refine", "trace", "factor_dtype",
+                     "compensated"),
 )
 def _hsd_loop(A, b, c, f, init: HsdState, *,
               max_iter, eps, step_factor, beta, epsdiag, refine_tol,
@@ -237,7 +251,8 @@ def _hsd_loop(A, b, c, f, init: HsdState, *,
               long_step: bool = False,
               max_refine: int = 8,
               trace: bool = False,
-              factor_dtype=None):
+              factor_dtype=None,
+              compensated: bool = False):
     """The jitted while_loop driver: run from `init` until status is decided,
     the iteration budget is exhausted, or mu falls below `pause_mu` (a
     traced stage boundary; 0.0 = run to convergence).
@@ -256,7 +271,8 @@ def _hsd_loop(A, b, c, f, init: HsdState, *,
     body = make_step(A, b, c, eps=eps, step_factor=step_factor,
                      beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
                      long_step=long_step, max_refine=max_refine,
-                     trace=trace, f=f, factor_dtype=factor_dtype)
+                     trace=trace, f=f, factor_dtype=factor_dtype,
+                     compensated=compensated)
     m, n = A.shape
 
     def cond(s: HsdState):
@@ -291,6 +307,7 @@ def solve_canon(A, b, c, f, *,
                 trace: bool = False,
                 factor_dtype=None,
                 pause_mu: float = 0.0,
+                compensated: bool = False,
                 init: HsdState | None = None):
     """Solve max c'x, Ax <= b, x >= 0 via the HSD embedding.
 
@@ -312,6 +329,6 @@ def solve_canon(A, b, c, f, *,
                     beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
                     pause_mu=pause_mu, long_step=long_step,
                     max_refine=max_refine, trace=trace,
-                    factor_dtype=factor_dtype)
+                    factor_dtype=factor_dtype, compensated=compensated)
     status, x, y, w, z, iters = finish_state(out, max_iter)
     return status, x, y, w, z, iters, out

@@ -39,7 +39,12 @@ from . import simplex as _simplex
 
 
 def size_class(dim: int, floor: int = 256) -> int:
-    """Smallest power-of-two class >= dim (>= floor)."""
+    """Padded size class for dim: powers of two up to 2048 (few compiled
+    programs for the corpus's many small problems), then multiples of 2048
+    (compile time amortizes over single big problems; 2x padding waste at
+    17k rows would not)."""
+    if dim > 2048:
+        return ((dim + 2047) // 2048) * 2048
     c = floor
     while c < dim:
         c *= 2
@@ -204,7 +209,9 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
             epsdiag=max(cfg.epsdiag, 1e-8) if sprint else cfg.epsdiag,
             refine_tol=max(cfg.refine_tol, 1e-4) if sprint else cfg.refine_tol,
             max_refine=cfg.max_refine, trace=trace,
-            factor_dtype=factor_dtype, pause_mu=pause, init=init)[-1]
+            factor_dtype=factor_dtype, pause_mu=pause,
+            compensated=(cfg.precision == "dd" and not sprint),
+            init=init)[-1]
 
     state = _run_staged(_hsd, run_stage, cfg, max_iter,
                         lambda: mk(jnp.float32), lambda: mk(jnp.float64),

@@ -159,7 +159,8 @@ def _raw_solve(A, Ec, Dc, fac: KKTFactor, ry, rx, Q=None):
 def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
               epsdiag=1.0e-14,
               refine_tol=1.0e-10,
-              max_refine: int = 8):
+              max_refine: int = 8,
+              compensated: bool = False):
     """Solve [[-E, A], [A', D+Q]] [dy; dx] = [rhs_y; rhs_x] with refinement.
 
     The residuals are evaluated against the TRUE (unclamped) E, D while the
@@ -167,18 +168,31 @@ def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
     (ldlt.c:389-398 uses the caller's Dn/Dm; inv_num clamped the diagonal).
     epsdiag / refine_tol are traced scalars; max_refine bounds the
     refinement while_loop (static — it shapes the program).
+
+    compensated=True evaluates refinement residuals with error-free
+    transforms (ops/quad.matvec2) — twice the working precision, the
+    QuadPrec-mode analogue (reference -DQuadPrec rebinds these kernels,
+    Quad.h:43-44) — letting refinement converge below the plain-matvec
+    roundoff floor on ill-conditioned systems.
     """
     epsdiag = jnp.asarray(epsdiag, A.dtype)
     refine_tol = jnp.asarray(refine_tol, A.dtype)
     Ec = jnp.maximum(E, epsdiag)
     Dc = jnp.maximum(D, epsdiag)
+    if compensated:
+        from .quad import matvec2
+        mv = matvec2
+        mvT = lambda M, v: matvec2(M.T, v)
+    else:
+        mv = lambda M, v: M @ v
+        mvT = lambda M, v: M.T @ v
 
     def residual(dy, dx):
-        r1 = rhs_y + E * dy - A @ dx
+        r1 = rhs_y + E * dy - mv(A, dx)
         if Q is None:
-            r2 = rhs_x - A.T @ dy - D * dx
+            r2 = rhs_x - mvT(A, dy) - D * dx
         else:
-            r2 = rhs_x - A.T @ dy - D * dx - Q @ dx
+            r2 = rhs_x - mvT(A, dy) - D * dx - mv(Q, dx)
         return r1, r2
 
     def max_resid(dy, dx):

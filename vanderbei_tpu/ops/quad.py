@@ -140,6 +140,34 @@ def dot2(a, b) -> jnp.ndarray:
     return s.hi + s.lo
 
 
+def matvec2(A, x) -> jnp.ndarray:
+    """Compensated matrix-vector product A @ x: every row evaluated as if
+    in 2x working precision, then rounded once (row-wise Dot2).
+
+    This is the TPU-native analogue of the reference's QuadPrec rebinding
+    of its residual kernels (src/Quad/Quad.h:43-44 + smx/dotprod under
+    #define double Quad): instead of swapping the scalar type, the
+    products' exact error terms ride along (two_prod) and a compensated
+    pairwise reduction sums them.  O(1) extra memory per element (the
+    error plane), ~6x the FLOPs of a plain matvec — all VPU elementwise,
+    versus the reference's ~50x QuadPrec slowdown.
+    """
+    p, e = two_prod(A, x[None, :])
+    hi, lo = p, e
+    # pairwise dd reduction over columns (log-depth, stays vectorized)
+    n = hi.shape[1]
+    width = 1 << max(0, (n - 1).bit_length())
+    if width != n:
+        hi = jnp.pad(hi, ((0, 0), (0, width - n)))
+        lo = jnp.pad(lo, ((0, 0), (0, width - n)))
+    while hi.shape[1] > 1:
+        half = hi.shape[1] // 2
+        s = dd_add(DD(hi[:, :half], lo[:, :half]),
+                   DD(hi[:, half:], lo[:, half:]))
+        hi, lo = s.hi, s.lo
+    return hi[:, 0] + lo[:, 0]
+
+
 def sum2(a) -> jnp.ndarray:
     """Compensated sum of an array."""
     s = dd_sum(dd(a))
