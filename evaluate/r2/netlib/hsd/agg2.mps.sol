@@ -1,0 +1,6 @@
+m = 517,n = 302,nz = 4515
+iterations = 78
+objective  = -2.0239252e+07
+golden     = -2.0239252e+07
+seconds    = 6.145
+optimal solution 

@@ -113,3 +113,35 @@ def test_batched_pd_matches_golden():
         sign = 1.0 if canon.maximize else -1.0
         golden = netlib.golden_objective(names[idx])
         assert abs(sign * obj_canon - golden) / max(1, abs(golden)) < 1e-6
+
+
+def test_full_mesh_solve_equals_single_device():
+    """A complete batched netlib class solved to convergence under the
+    ("batch", "model") mesh must equal the single-device solve — same
+    statuses, same iteration counts, objectives equal to 1e-10.
+
+    (GSPMD may reassociate the psum reductions, so exact bitwise equality
+    is not guaranteed; 1e-10 on a converged optimum is.)"""
+    names = ["AFIRO", "SC50A", "SC50B", "BLEND"]
+    lps = [netlib.load(n) for n in names]
+    classes, _ = group_by_class(lps, granularity=128)
+    (key, entries), = classes.items()
+    A, b, c = stack_class(entries, *key)
+
+    single = solve_batch_hsd(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c))
+
+    mesh = make_mesh(8, model_parallel=2)
+    As, bs, cs = shard_batch([A, b, c], mesh, model_axis_dims=(2, None, 1))
+    sharded = solve_batch_hsd(As, bs, cs)
+
+    st_s, x_s, _, _, _, it_s = [np.asarray(v) for v in single]
+    st_m, x_m, _, _, _, it_m = [np.asarray(v) for v in sharded]
+    assert (st_s == int(Status.OPTIMAL)).all()
+    np.testing.assert_array_equal(st_s, st_m)
+    for k, (idx, canon) in enumerate(entries):
+        obj_s = float(c[k] @ x_s[k]) + canon.f
+        obj_m = float(c[k] @ x_m[k]) + canon.f
+        assert abs(obj_m - obj_s) <= 1e-10 * max(1.0, abs(obj_s)), names[idx]
+        golden = netlib.golden_objective(names[idx])
+        sign = 1.0 if canon.maximize else -1.0
+        assert abs(sign * obj_m - golden) / max(1, abs(golden)) < 1e-6
