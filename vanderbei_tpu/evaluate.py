@@ -65,6 +65,34 @@ def reference_outcomes(method: str) -> dict:
     return out
 
 
+def reference_iterations(method: str) -> dict:
+    """NAME -> the reference solver's iteration/pivot count, parsed from the
+    last trace row of each captured .sol log (evaluate/v1-cf4d5ba/...)."""
+    d = REF_DIR_FOR_METHOD.get(method)
+    if d is None:
+        return {}
+    root = os.path.join(REFERENCE_EVAL, d)
+    if not os.path.isdir(root):
+        return {}
+    out = {}
+    for fn in os.listdir(root):
+        if not fn.endswith(".mps.sol"):
+            continue
+        name = fn[:-len(".mps.sol")].upper()
+        last = None
+        try:
+            with open(os.path.join(root, fn), errors="replace") as fp:
+                for line in fp:
+                    toks = line.split()
+                    if toks and toks[0].isdigit():
+                        last = int(toks[0])
+        except OSError:
+            continue
+        if last is not None:
+            out[name] = last
+    return out
+
+
 def run_sweep(method: str = "hsd", out_dir: str | None = None,
               max_rows: int | None = None, max_cols: int | None = None,
               names: list[str] | None = None, config: SolverConfig | None = None,
@@ -160,6 +188,7 @@ def write_readme(out_dir: str, method: str, records: list) -> None:
     d = os.path.join(out_dir, "netlib", method)
     os.makedirs(d, exist_ok=True)
     ref = reference_outcomes(method)
+    ref_it = reference_iterations(method)
     n_opt = sum(1 for r in records if r["status"] == int(Status.OPTIMAL))
     n_match = sum(1 for r in records if r["relerr"] < 1e-6)
     total_s = sum(r["seconds"] for r in records)
@@ -174,16 +203,17 @@ def write_readme(out_dir: str, method: str, records: list) -> None:
         f"corresponding row of `{REFERENCE_EVAL}/"
         f"{REF_DIR_FOR_METHOD.get(method, '?')}/README.md`.",
         "",
-        "| Name | Rows | Cols | Nonzeros | Objective | Status | Iters | Seconds | vs reference |",
-        "|------|-----:|-----:|---------:|----------:|--------|------:|--------:|--------------|",
+        "| Name | Rows | Cols | Nonzeros | Objective | Status | Iters | Ref iters | Seconds | vs reference |",
+        "|------|-----:|-----:|---------:|----------:|--------|------:|----------:|--------:|--------------|",
     ]
     for r in records:
         obj = (f"{r['objective']:.7e}"
                if r["status"] == int(Status.OPTIMAL) else "—")
         st = (status_message(r["status"]) if r["status"] >= 0 else "error")
+        ri = ref_it.get(r["name"], "—")
         lines.append(
             f"| {r['name']} | {r['rows']} | {r['cols']} | {r['nonzeros']} "
-            f"| {obj} | {st} | {r['iterations']} | {r['seconds']} "
+            f"| {obj} | {st} | {r['iterations']} | {ri} | {r['seconds']} "
             f"| {_ref_agrees(r, ref.get(r['name']))} |")
     with open(os.path.join(d, "README.md"), "w") as fp:
         fp.write("\n".join(lines) + "\n")

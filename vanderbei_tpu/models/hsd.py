@@ -295,6 +295,94 @@ def finish_state(state: HsdState, max_iter):
             state.z / phi, state.iter)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "long_step", "max_refine", "factor_dtype",
+                     "compensated"),
+)
+def _hsd_scan_metrics(A, b, c, f, init: HsdState, *,
+                      max_iter: int,
+                      eps, step_factor, beta, epsdiag, refine_tol,
+                      long_step: bool = False,
+                      max_refine: int = 8,
+                      factor_dtype=None,
+                      compensated: bool = False):
+    """Observability variant: a fixed-length lax.scan that records one
+    structured metrics row PER ITERATION on device and returns the whole
+    table to the host — the TPU-native replacement for the reference's
+    per-iteration stdout trace (hsd.c:206-209), usable for regression
+    dashboards without host callbacks.
+
+    Returns (final_state, metrics) where metrics is a dict of (max_iter,)
+    arrays: mu, primal_obj, dual_obj, primal_infeas, dual_infeas, valid
+    (False past convergence — converged iterations no-op).
+    """
+    dtype = A.dtype
+    m, n = A.shape
+    eps = jnp.asarray(eps, dtype)
+    step_factor = jnp.asarray(step_factor, dtype)
+    beta = jnp.asarray(beta, dtype)
+    epsdiag = jnp.asarray(epsdiag, dtype)
+    refine_tol = jnp.asarray(refine_tol, dtype)
+    f = jnp.asarray(f, dtype)
+
+    body = make_step(A, b, c, eps=eps, step_factor=step_factor,
+                     beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
+                     long_step=long_step, max_refine=max_refine,
+                     trace=False, f=f, factor_dtype=factor_dtype,
+                     compensated=compensated)
+
+    def scan_body(s: HsdState, _):
+        running = s.status == int(Status.RUNNING)
+        mu = (s.z @ s.x + s.w @ s.y + s.phi * s.psi) / (n + m + 1)
+        rho = A @ s.x - b * s.phi + s.w
+        sigma = -(A.T @ s.y) + c * s.phi + s.z
+        row = dict(
+            mu=mu,
+            primal_obj=(c @ s.x) / s.phi + f,
+            dual_obj=(b @ s.y) / s.phi + f,
+            primal_infeas=jnp.sqrt(rho @ rho) / s.phi,
+            dual_infeas=jnp.sqrt(sigma @ sigma) / s.phi,
+            valid=running,
+        )
+        s2 = jax.lax.cond(running, body, lambda x: x, s)
+        return s2, row
+
+    out, rows = jax.lax.scan(scan_body, init, None, length=max_iter)
+    return out, rows
+
+
+def solve_canon_metrics(A, b, c, f, *,
+                        max_iter: int = DEFAULT_MAX_ITER,
+                        eps: float = 1.0e-12,
+                        step_factor: float = 0.95,
+                        long_step: bool = False,
+                        beta: float = 0.80,
+                        epsdiag: float = 1.0e-14,
+                        refine_tol: float = 1.0e-10,
+                        max_refine: int = 8,
+                        factor_dtype=None,
+                        compensated: bool = False,
+                        init: HsdState | None = None):
+    """solve_canon + the per-iteration metrics table (see _hsd_scan_metrics).
+
+    Runs exactly max_iter scanned iterations (converged ones no-op), so it
+    costs the full budget — use for observability, not the fast path.
+    """
+    if isinstance(factor_dtype, str):
+        factor_dtype = {"f32": jnp.float32, "f64": None,
+                        "none": None}[factor_dtype]
+    if init is None:
+        init = init_state(A)
+    out, rows = _hsd_scan_metrics(
+        A, b, c, f, init, max_iter=max_iter, eps=eps,
+        step_factor=step_factor, beta=beta, epsdiag=epsdiag,
+        refine_tol=refine_tol, long_step=long_step, max_refine=max_refine,
+        factor_dtype=factor_dtype, compensated=compensated)
+    status, x, y, w, z, iters = finish_state(out, max_iter)
+    return (status, x, y, w, z, iters, out), rows
+
+
 def solve_canon(A, b, c, f, *,
                 max_iter: int = DEFAULT_MAX_ITER,
                 eps: float = 1.0e-12,

@@ -74,6 +74,15 @@ def _refresh_binv(Afull, basics):
     return inv_qr(B)
 
 
+def _reduced_costs(Afull, Binv, basics, nonbasics, cvec):
+    """z_N(cvec) = (cvec_B B^-1 A)_N - cvec_N at the current basis —
+    what btsolve + Nt_times_y regenerate from a fresh LU in the reference
+    (2phase.c:331-350)."""
+    v = jnp.take(cvec, basics) @ Binv
+    z_full = v @ Afull - cvec
+    return jnp.take(z_full, nonbasics)
+
+
 def _pivot_binv(Binv, dx_B, col_out):
     """Product-form update of B^-1 after basis column col_out is replaced
     by the entering column a_j (for which dx_B = B^-1 a_j)."""
@@ -100,9 +109,9 @@ def _dy_nonbasic(Afull, Binv, nonbasics, col_out):
     return jnp.take(y_full, nonbasics)
 
 
-def _chunked_loop(cond, body, state, Afull, max_iter, refresh_every):
+def _chunked_loop(cond, body, state, refresh, refresh_every):
     """Run `body` pivots in refresh_every-sized chunks with ONE unconditional
-    B^-1 refresh per chunk.
+    refactor per chunk.
 
     This replaces a per-pivot `lax.cond` refresh: under vmap a cond lowers
     to a select that would execute the O(m^3) refresh for every lane every
@@ -110,12 +119,20 @@ def _chunked_loop(cond, body, state, Afull, max_iter, refresh_every):
     reference's amortized-time heuristic (lueta.c:104-131) while keeping
     batched execution efficient.  `body` is guarded so finished lanes
     no-op.
+
+    `refresh` must be a TRUE refactor: besides recomputing B^-1 it
+    re-derives every iterate vector (x_B, y_N, perturbations) from the
+    basis and the original data.  The reference gets this for free — its
+    bsolve/btsolve regenerate iterates through the fresh LU each iteration
+    (lueta.c:618-698); with incremental product-form updates the iterates
+    would otherwise drift over hundreds of pivots and fake an
+    infeasible/unbounded verdict late in the run.
     """
     guarded = lambda s: jax.lax.cond(cond(s), body, lambda x: x, s)
 
     def chunk(s):
         s = jax.lax.fori_loop(0, refresh_every, lambda t, ss: guarded(ss), s)
-        return s._replace(Binv=_refresh_binv(Afull, s.basics))
+        return jax.lax.cond(cond(s), refresh, lambda x: x, s)
 
     return jax.lax.while_loop(cond, chunk, state)
 
@@ -131,6 +148,8 @@ def _pd_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
     m, N = Afull.shape
     n = N - m
     dtype = Afull.dtype
+    if c.shape[0] < N:      # structural costs only: slack columns cost 0
+        c = jnp.concatenate([c, jnp.zeros((N - c.shape[0],), dtype)])
 
     A0 = Afull[:, :n]
     # row/col 2-norms over the structural columns (pd.c:179-187)
@@ -139,6 +158,13 @@ def _pd_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
     kx, ky = jax.random.split(key)
     xbar = jax.random.uniform(kx, (m,), dtype) + rscale
     ybar = jax.random.uniform(ky, (n,), dtype) + cscale
+
+    # originating vectors of the homotopy iterates: x_B = B^-1 b,
+    # xbar_B = B^-1 xbar0, y_N = z_N(c), ybar_N = z_N(cbar) hold at EVERY
+    # basis (the incremental pivot updates preserve them) — they are what
+    # the refactor recomputes exactly
+    xbar0 = xbar
+    cbar = jnp.concatenate([-ybar, jnp.zeros((m,), dtype)])
 
     state = PdState(
         Binv=jnp.eye(m, dtype=dtype),
@@ -243,7 +269,17 @@ def _pd_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
         out = jax.lax.cond(mu <= EPS3, finish_optimal, pivot, operand=None)
         return out._replace(iter=s.iter + 1)
 
-    out = _chunked_loop(cond, body, state, Afull, max_iter, refresh_every)
+    def refresh(s: PdState):
+        """True refactor: fresh B^-1 AND iterates re-derived from it."""
+        Binv = _refresh_binv(Afull, s.basics)
+        return s._replace(
+            Binv=Binv,
+            x_B=Binv @ b,
+            xbar_B=Binv @ xbar0,
+            y_N=_reduced_costs(Afull, Binv, s.basics, s.nonbasics, c),
+            ybar_N=_reduced_costs(Afull, Binv, s.basics, s.nonbasics, cbar))
+
+    out = _chunked_loop(cond, body, state, refresh, refresh_every)
     status = jnp.where(out.status == int(Status.RUNNING),
                        int(Status.ITERATION_LIMIT), out.status)
 
@@ -294,9 +330,14 @@ def _twophase_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
     m, N = Afull.shape
     n = N - m
     dtype = Afull.dtype
+    if c.shape[0] < N:      # structural costs only: slack columns cost 0
+        c = jnp.concatenate([c, jnp.zeros((N - c.shape[0],), dtype)])
 
     # dual-feasible start: y_N = max(c,1) + U(0,1)  (2phase.c:168-173)
     y0 = jnp.maximum(c[:n], 1.0) + jax.random.uniform(key, (n,), dtype)
+    # Phase I runs with the implicit random objective ctilde whose reduced
+    # costs at the slack basis equal y0; refactors re-derive y_N from it
+    ctilde = jnp.concatenate([-y0, jnp.zeros((m,), dtype)])
 
     state = TpState(
         Binv=jnp.eye(m, dtype=dtype),
@@ -345,15 +386,23 @@ def _twophase_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
         out = jax.lax.cond(no_neg, stop, pivot, operand=None)
         return out._replace(iter=s.iter + 1)
 
-    s1 = _chunked_loop(cond, phase1_body, state, Afull, max_iter,
+    def refresh_with(cvec):
+        def refresh(s: TpState):
+            Binv = _refresh_binv(Afull, s.basics)
+            return s._replace(
+                Binv=Binv,
+                x_B=Binv @ b,
+                y_N=_reduced_costs(Afull, Binv, s.basics, s.nonbasics,
+                                   cvec))
+        return refresh
+
+    s1 = _chunked_loop(cond, phase1_body, state, refresh_with(ctilde),
                        refresh_every)
 
     # objective restoration (2phase.c:331-350):
     # y_N = ((c_B B^-1) A_full)[nonbasics] - c_N
     def to_phase2(s: TpState):
-        v = jnp.take(c, s.basics) @ s.Binv
-        y_full = v @ Afull
-        y_N = jnp.take(y_full, s.nonbasics) - jnp.take(c, s.nonbasics)
+        y_N = _reduced_costs(Afull, s.Binv, s.basics, s.nonbasics, c)
         return s._replace(y_N=y_N, done=jnp.asarray(False))
 
     s1 = jax.lax.cond(
@@ -394,7 +443,7 @@ def _twophase_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
         out = jax.lax.cond(no_neg, stop, pivot, operand=None)
         return out._replace(iter=s.iter + 1)
 
-    s2 = _chunked_loop(cond, phase2_body, s1, Afull, max_iter,
+    s2 = _chunked_loop(cond, phase2_body, s1, refresh_with(c),
                        refresh_every)
 
     status = jnp.where(s2.status == int(Status.RUNNING),
