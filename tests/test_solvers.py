@@ -132,3 +132,31 @@ def test_free_variable_split(name):
     golden = netlib.golden_objective(name)
     assert sol.status == int(Status.OPTIMAL)
     assert abs(sol.primal_obj - golden) / max(1, abs(golden)) < 1e-6
+
+
+def test_structured_metrics_table():
+    """solve_canon_metrics returns the per-iteration table from device and
+    agrees with the plain solve."""
+    import jax.numpy as jnp
+    from vanderbei_tpu.core.canonicalize import canonicalize
+    from vanderbei_tpu.models import hsd
+    lp = netlib.load("AFIRO")
+    canon = canonicalize(lp, pad_to=1)
+    A = jnp.asarray(canon.A)
+    b = jnp.asarray(canon.b)
+    c = jnp.asarray(canon.c)
+    (st, x, y, w, z, iters, _), rows = hsd.solve_canon_metrics(
+        A, b, c, canon.f, max_iter=100)
+    plain = hsd.solve_canon(A, b, c, canon.f, max_iter=100)
+    assert int(st) == int(plain[0]) == int(Status.OPTIMAL)
+    assert int(iters) == int(plain[5])
+    valid = np.asarray(rows["valid"])
+    mu = np.asarray(rows["mu"])
+    k = int(iters)
+    assert valid[:k].all() and not valid[k:].any()
+    # mu decreases by orders of magnitude over the run and ends < 1e-12
+    assert mu[0] > 1e-2 and mu[k - 1] < 1e-10
+    # final trace row's objective matches the solve's objective
+    pobj = np.asarray(rows["primal_obj"])[k - 1]
+    obj = float(c @ x) + canon.f
+    assert abs(pobj - obj) / max(1, abs(obj)) < 1e-6

@@ -41,6 +41,9 @@ def main(argv=None) -> int:
                         "QuadPrec-equivalent compensated mode")
     p.add_argument("--time-limit", type=float, default=None,
                    help="wall-clock budget in seconds (TIMLIM)")
+    p.add_argument("--metrics", default=None, metavar="CSV",
+                   help="write the per-iteration structured metrics table "
+                        "(device-side scan; hsd only) to this CSV path")
     args = p.parse_args(argv)
     enable_persistent_cache()
 
@@ -63,6 +66,10 @@ def main(argv=None) -> int:
     if args.time_limit is not None:
         cfg = cfg.with_(time_limit=args.time_limit)
     sol = solve(lp, method=args.method, config=cfg)
+    if args.metrics:
+        _write_metrics_csv(lp, cfg, args.metrics)
+        if args.verbose:
+            print(f"metrics table -> {args.metrics}")
     print(status_message(sol.status))
     if args.verbose:
         print(f"primal objective: {sol.primal_obj:.7e}")
@@ -73,6 +80,29 @@ def main(argv=None) -> int:
         out = args.out or (lp.name + ".out")
         write_sol(lp, sol, out)
     return 0
+
+
+def _write_metrics_csv(lp, cfg: SolverConfig, path: str) -> None:
+    """Run the observability (scan) variant and dump the per-iteration
+    table — the structured counterpart of the reference's stdout trace."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .core.canonicalize import canonicalize
+    from .models import hsd
+
+    canon = canonicalize(lp, dtype=cfg.dtype, free_vars=cfg.free_vars)
+    A = jnp.asarray(canon.A)
+    (st, *_), rows = hsd.solve_canon_metrics(
+        A, jnp.asarray(canon.b), jnp.asarray(canon.c), canon.f,
+        max_iter=cfg.max_iter or hsd.DEFAULT_MAX_ITER, eps=cfg.hsd_eps)
+    cols = ["mu", "primal_obj", "dual_obj", "primal_infeas", "dual_infeas"]
+    valid = np.asarray(rows["valid"])
+    data = {k: np.asarray(rows[k]) for k in cols}
+    with open(path, "w") as fp:
+        fp.write("iter," + ",".join(cols) + "\n")
+        for i in range(int(valid.sum())):
+            fp.write(f"{i}," + ",".join(f"{data[k][i]:.9e}" for k in cols)
+                     + "\n")
 
 
 if __name__ == "__main__":
