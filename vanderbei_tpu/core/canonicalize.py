@@ -63,6 +63,11 @@ class CanonLP:
     # quadratic objective (QUADS extension): internal form is
     # max c'x - x'Qx/2 + f with Q PSD; None for pure LPs
     Q: np.ndarray = None
+    # geometric equilibration (scale="geometric"): the solver sees
+    # A' = diag(row_scale) A diag(col_scale), b' = row_scale*b,
+    # c' = col_scale*c; recover_solution unscales.  None = unscaled.
+    row_scale: np.ndarray = None
+    col_scale: np.ndarray = None
 
     @property
     def mp(self) -> int:
@@ -73,10 +78,40 @@ class CanonLP:
         return self.A.shape[1]
 
 
+def _geometric_equilibrate(A, m, n, passes=4):
+    """Row/column geometric-mean equilibration scales for A[:m, :n].
+
+    The reference solves netlib UNSCALED and pays for it: on NESM/SCRS8/
+    GANGES-class problems (coefficient spreads of 1e6+) its achieved
+    objectives miss the published optima by ~1e-6 relative.  Equilibration
+    is the standard fix; it commutes exactly with the canonical form
+    (x >= 0 is preserved by positive column scales) and is undone in
+    recover_solution, so the user-visible problem is unchanged.
+    """
+    r = np.ones(m)
+    s = np.ones(n)
+    Aw = np.abs(A[:m, :n])
+    def scale_pass(M, axis):
+        mx = M.max(axis=axis)
+        mn = np.where(M > 0, M, np.inf).min(axis=axis)
+        ok = (mx > 0) & np.isfinite(mn)
+        prod = np.where(ok, mx * np.where(np.isfinite(mn), mn, 1.0), 1.0)
+        return np.where(ok, 1.0 / np.sqrt(prod), 1.0)
+
+    for _ in range(passes):
+        r = r * scale_pass(Aw * r[:, None] * s[None, :], axis=1)
+        s = s * scale_pass(Aw * r[:, None] * s[None, :], axis=0)
+    # snap to powers of two: exactly representable, no rounding injected
+    r = np.exp2(np.round(np.log2(np.where(r > 0, r, 1.0))))
+    s = np.exp2(np.round(np.log2(np.where(s > 0, s, 1.0))))
+    return r, s
+
+
 def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
                  free_vars: str = "reject",
                  pad_rows_to: int | None = None,
-                 pad_cols_to: int | None = None) -> CanonLP:
+                 pad_cols_to: int | None = None,
+                 scale: str = "none") -> CanonLP:
     """Build the dense canonical form (reference solvelp solve.c:28-205).
 
     pad_to: round padded dims up to this multiple (use 8/128 for TPU tiles,
@@ -180,6 +215,19 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
             Qc[:n_ext, jm] = -Qc[:n_ext, j]
             Qc[jm, jm] = Qc[j, j]
 
+    row_scale = col_scale = None
+    if scale == "geometric":
+        r, s = _geometric_equilibrate(Ac, m_canon, n_ext)
+        row_scale = np.ones(mp)
+        col_scale = np.ones(npad)
+        row_scale[:m_canon] = r
+        col_scale[:n_ext] = s
+        Ac *= row_scale[:, None] * col_scale[None, :]
+        bc *= row_scale
+        cc *= col_scale
+        if Qc is not None:
+            Qc *= col_scale[:, None] * col_scale[None, :]
+
     return CanonLP(
         A=Ac, b=bc, c=cc, f=f, m=m_canon, n=n_ext, m0=m,
         maximize=lp.maximize, l=l,
@@ -187,6 +235,7 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
         ub_cols=ub_cols.astype(np.int64),
         status=int(Status.RUNNING), n_orig=n,
         free_cols=free_cols.astype(np.int64), Q=Qc,
+        row_scale=row_scale, col_scale=col_scale,
     )
 
 
@@ -213,9 +262,20 @@ def recover_solution(canon: CanonLP, x, y, w, z):
     quad = 0.0
     if canon.Q is not None:
         quad = 0.5 * float(x_canon @ canon.Q[:n, :n] @ x_canon)
+    # objectives are scale-invariant: c'_scaled @ x_scaled == c @ x exactly
     primal_obj = sign * (float(canon.c[:n] @ x_canon) - quad + canon.f)
     # QP (Dorn) dual objective: b'y - x'Qx/2
     dual_obj = sign * (float(canon.b[:m] @ y) - quad + canon.f)
+    b_unscaled = np.asarray(canon.b[:m], dtype=np.float64)
+    if canon.row_scale is not None:
+        # undo the equilibration: x = S x', y = R y', w = w'/R, z = z'/S
+        r = canon.row_scale[:m]
+        s = canon.col_scale[:n]
+        x_canon = s * x_canon
+        y = r * y
+        w = w / r
+        z = z / s
+        b_unscaled = b_unscaled / r
     # fold split free-variable mirrors back: x_j = x+ - x-
     n0 = canon.n_orig or n
     x_base = x_canon[:n0].copy()
@@ -226,4 +286,4 @@ def recover_solution(canon: CanonLP, x, y, w, z):
         z_base[canon.free_cols] -= z[n0:n0 + nf]
     x_out = x_base + canon.l
     y_out = y if canon.maximize else -y
-    return x_out, y_out, w, z_base, primal_obj, dual_obj, np.asarray(canon.b[:m])
+    return x_out, y_out, w, z_base, primal_obj, dual_obj, b_unscaled

@@ -71,6 +71,13 @@ class SolverConfig:
                                     # the eta-file/bump refactor heuristic,
                                     # lueta.c:104-131)
 
+    # problem equilibration: "geometric" (default) applies geometric-mean
+    # row/col scaling to the canonical form (power-of-two factors, undone
+    # on recovery).  The reference solves unscaled — and on wide-coefficient
+    # instances (NESM, SCRS8, GANGES) its achieved objectives miss the
+    # published optima by ~1e-6; scaling recovers them.  "none" = parity.
+    scale: str = "geometric"
+
     seed: int = 0                   # jax.random key for perturbations
                                     # (replaces drand48, pd.c:193-200)
     dtype: np.dtype = np.float64

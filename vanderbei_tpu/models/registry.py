@@ -263,7 +263,7 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
                   "(QP-capable)", flush=True)
         method = "intpt"
     canon = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
-                         free_vars=cfg.free_vars)
+                         free_vars=cfg.free_vars, scale=cfg.scale)
     if canon.status != int(Status.RUNNING):
         n, m0 = lp.n, lp.m
         return Solution(status=canon.status, x=np.zeros(n), y=np.zeros(m0),
@@ -271,12 +271,12 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
                         dual_obj=0.0)
     if pad_to == "auto":
         canon = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
-                             free_vars=cfg.free_vars,
+                             free_vars=cfg.free_vars, scale=cfg.scale,
                              pad_rows_to=size_class(canon.m),
                              pad_cols_to=size_class(canon.n))
     elif pad_to != 1:
         canon = canonicalize(lp, pad_to=pad_to, dtype=cfg.dtype,
-                             free_vars=cfg.free_vars)
+                             free_vars=cfg.free_vars, scale=cfg.scale)
     t0 = time.perf_counter()
     status, x, y, w, z, iters = get_solver(method)(canon, cfg)
     x = np.asarray(x)
