@@ -160,3 +160,19 @@ def test_structured_metrics_table():
     pobj = np.asarray(rows["primal_obj"])[k - 1]
     obj = float(c @ x) + canon.f
     assert abs(pobj - obj) / max(1, abs(obj)) < 1e-6
+
+
+def test_padding_invariance_stress():
+    """Size-class auto-padding (default) adds ~200 benign rows/cols to
+    SHARE1B; the answer must match the exact-dims solve to optimality
+    tolerance on a problem whose padded fraction is large."""
+    lp = netlib.load("SHARE1B")     # 117x225 canonical -> (256, 256) class
+    exact = vt.solve(lp, method="hsd", pad_to=1)
+    padded = vt.solve(lp, method="hsd")            # pad_to="auto"
+    golden = netlib.golden_objective("SHARE1B")
+    assert exact.status == padded.status == int(Status.OPTIMAL)
+    assert abs(padded.primal_obj - exact.primal_obj) <= 1e-6 * abs(golden)
+    assert abs(padded.primal_obj - golden) / abs(golden) < 1e-6
+    # the padding must not leak into the reported solution vectors
+    assert padded.x.shape == (lp.n,)
+    assert padded.y.shape == (lp.m,)
