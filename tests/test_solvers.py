@@ -174,5 +174,6 @@ def test_padding_invariance_stress():
     assert abs(padded.primal_obj - exact.primal_obj) <= 1e-6 * abs(golden)
     assert abs(padded.primal_obj - golden) / abs(golden) < 1e-6
     # the padding must not leak into the reported solution vectors
+    # (x in original columns; y/w over the TRUE canonical rows)
     assert padded.x.shape == (lp.n,)
-    assert padded.y.shape == (lp.m,)
+    assert padded.y.shape == exact.y.shape
