@@ -86,3 +86,63 @@ def test_mixed_precision_f32_factor():
     err = max(np.max(np.abs(np.asarray(dy) - ref[:m])),
               np.max(np.abs(np.asarray(dx) - ref[m:])))
     assert err < 1e-8 * max(1.0, np.max(np.abs(ref)))
+
+
+def test_ub_tail_schur_matches_full_dense():
+    """The Schur-eliminated singleton-ub-tail path must equal the dense
+    solve of the full system [[-E, Af],[Af', D]] with Af = [A1; S]."""
+    from vanderbei_tpu.ops.kkt import UbTail
+    rng = np.random.default_rng(7)
+    m1, k, n = 9, 6, 14         # 4 real ub rows + 2 padding rows
+    A1 = rng.normal(size=(m1, n))
+    idx2 = np.array([1, 4, 7, 11, 0, 0], dtype=np.int32)
+    w2 = np.array([1.0, 0.5, 2.0, 1.0, 0.0, 0.0])
+    S = np.zeros((k, n))
+    for i in range(k):
+        S[i, idx2[i]] = w2[i]
+    Af = np.vstack([A1, S])
+    E = rng.uniform(0.5, 2.0, m1 + k)
+    D = rng.uniform(0.5, 2.0, n)
+    ry = rng.normal(size=m1 + k)
+    rx = rng.normal(size=n)
+    K = np.block([[-np.diag(E), Af], [Af.T, np.diag(D)]])
+    ref = np.linalg.solve(K, np.concatenate([ry, rx]))
+
+    ub = UbTail(jnp.asarray(idx2), jnp.asarray(w2))
+    fac = kkt_factor(jnp.asarray(A1), jnp.asarray(E), jnp.asarray(D),
+                     1e-14, ub=ub)
+    assert fac.L.shape == (m1, m1)       # only the head is factored
+    dy, dx = kkt_solve(jnp.asarray(A1), jnp.asarray(E), jnp.asarray(D),
+                       fac, jnp.asarray(ry), jnp.asarray(rx), ub=ub)
+    np.testing.assert_allclose(np.asarray(dy), ref[:m1 + k], rtol=1e-9,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dx), ref[m1 + k:], rtol=1e-9,
+                               atol=1e-9)
+
+
+def test_ub_tail_extreme_scaling():
+    """ub-tail path under near-convergence D/E spreads stays finite and
+    refinement-accurate (the bounded-variable harmonic diagonal must not
+    overflow/cancel)."""
+    from vanderbei_tpu.ops.kkt import UbTail, tail_matvec, tail_rmatvec
+    rng = np.random.default_rng(8)
+    m1, k, n = 12, 10, 20
+    A1 = rng.normal(size=(m1, n))
+    idx2 = np.asarray(rng.choice(n, size=k, replace=False), dtype=np.int32)
+    w2 = np.ones(k)
+    E = 10.0 ** rng.uniform(-10, 10, m1 + k)
+    D = 10.0 ** rng.uniform(-10, 10, n)
+    ry = rng.normal(size=m1 + k)
+    rx = rng.normal(size=n)
+    ub = UbTail(jnp.asarray(idx2), jnp.asarray(w2))
+    fac = kkt_factor(jnp.asarray(A1), jnp.asarray(E), jnp.asarray(D),
+                     1e-14, ub=ub)
+    dy, dx = kkt_solve(jnp.asarray(A1), jnp.asarray(E), jnp.asarray(D),
+                       fac, jnp.asarray(ry), jnp.asarray(rx), ub=ub)
+    dy = np.asarray(dy); dx = np.asarray(dx)
+    Afdx = np.asarray(tail_matvec(jnp.asarray(A1), ub, jnp.asarray(dx)))
+    Afty = np.asarray(tail_rmatvec(jnp.asarray(A1), ub, jnp.asarray(dy)))
+    r1 = ry + E * dy - Afdx
+    r2 = rx - Afty - D * dx
+    scale = max(np.max(np.abs(ry)), np.max(np.abs(rx))) + 1
+    assert np.max(np.abs(np.concatenate([r1, r2]))) < 1e-6 * scale

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.status import Status
-from ..ops.kkt import kkt_factor, kkt_solve
+from ..ops.kkt import kkt_factor, kkt_solve, UbTail, tail_matvec, tail_rmatvec
 
 DEFAULT_MAX_ITER = 200      # hsd.c:25
 DEFAULT_MAX_ITER_LS = 600   # hsdls.c:25
@@ -89,9 +89,14 @@ def _hsd_linesearch(v, dv, s, ds, beta, delta, mu):
     return jnp.where(a == 0.0, lin, jnp.where(a > 0.0, pos_a, neg_a))
 
 
-def init_state(A) -> HsdState:
-    """All-ones homogeneous start (hsd.c:98-109)."""
+def init_state(A, extra_rows: int = 0) -> HsdState:
+    """All-ones homogeneous start (hsd.c:98-109).
+
+    extra_rows: count of implicit ub-tail rows (UbTail path) beyond A's
+    own rows — y/w span the FULL canonical row space either way.
+    """
     m, n = A.shape
+    m = m + extra_rows
     dtype = A.dtype
     one = jnp.ones((), dtype)
     return HsdState(jnp.ones((n,), dtype), jnp.ones((n,), dtype),
@@ -118,7 +123,8 @@ def make_step(A, b, c, *,
               trace: bool = False,
               f=0.0,
               factor_dtype=None,
-              compensated: bool = False):
+              compensated: bool = False,
+              ub: UbTail | None = None):
     """Build the single-iteration step function state -> state.
 
     This is the framework's flagship 'forward step': one KKT factorization,
@@ -131,19 +137,29 @@ def make_step(A, b, c, *,
     shape the program).
     """
     m, n = A.shape
+    if ub is not None:
+        m = m + ub.idx2.shape[0]     # y/w span the implicit tail rows too
     dtype = A.dtype
     if compensated:
         # QuadPrec-mode arithmetic (reference -DQuadPrec, Quad.h:43-44):
         # residuals and inner products evaluated in twice the working
         # precision via error-free transforms (ops/quad.py)
         from ..ops.quad import matvec2, dot2
-        mv = matvec2
-        mvT = lambda M, v: matvec2(M.T, v)
+        base_mv = matvec2
+        base_mvT = lambda M, v: matvec2(M.T, v)
         dot = dot2
     else:
-        mv = lambda M, v: M @ v
-        mvT = lambda M, v: M.T @ v
+        base_mv = lambda M, v: M @ v
+        base_mvT = lambda M, v: M.T @ v
         dot = lambda a, b: a @ b
+    if ub is not None:
+        m1 = A.shape[0]
+        mv = lambda M, v: jnp.concatenate([base_mv(M, v),
+                                           ub.w2 * v[ub.idx2]])
+        mvT = lambda M, v: base_mvT(M, v[:m1]).at[ub.idx2].add(
+            ub.w2 * v[m1:])
+    else:
+        mv, mvT = base_mv, base_mvT
 
     def body(s: HsdState):
         x, z, y, w, phi, psi = s.x, s.z, s.y, s.w, s.phi, s.psi
@@ -173,7 +189,7 @@ def make_step(A, b, c, *,
 
         # infeasibilities (hsd.c:182-198); computed before stepping, in the
         # reference's order, so the trace row matches its table
-        rho = mv(A, x) - b * phi + w
+        rho = mv(A, x) - b * phi + w        # (m,) incl. implicit tail rows
         sigma = -mvT(A, y) + c * phi + z
 
         if trace:
@@ -193,13 +209,16 @@ def make_step(A, b, c, *,
             D = z / x
             E = w / y
 
-            fac = kkt_factor(A, E, D, epsdiag, factor_dtype=factor_dtype)
+            fac = kkt_factor(A, E, D, epsdiag, factor_dtype=factor_dtype,
+                             ub=ub)
             fy, fx = kkt_solve(A, E, D, fac, rho_rhs, -sigma_rhs,
                                epsdiag=epsdiag, refine_tol=refine_tol,
-                               max_refine=max_refine, compensated=compensated)
+                               max_refine=max_refine, compensated=compensated,
+                               ub=ub)
             gy, gx = kkt_solve(A, E, D, fac, -b, -c,
                                epsdiag=epsdiag, refine_tol=refine_tol,
-                               max_refine=max_refine, compensated=compensated)
+                               max_refine=max_refine, compensated=compensated,
+                               ub=ub)
 
             dphi = ((dot(c, fx) - dot(b, fy) + gamma)
                     / (dot(c, gx) - dot(b, gy) - psi / phi))  # hsd.c:230-231
@@ -252,7 +271,8 @@ def _hsd_loop(A, b, c, f, init: HsdState, *,
               max_refine: int = 8,
               trace: bool = False,
               factor_dtype=None,
-              compensated: bool = False):
+              compensated: bool = False,
+              ub: UbTail | None = None):
     """The jitted while_loop driver: run from `init` until status is decided,
     the iteration budget is exhausted, or mu falls below `pause_mu` (a
     traced stage boundary; 0.0 = run to convergence).
@@ -272,8 +292,10 @@ def _hsd_loop(A, b, c, f, init: HsdState, *,
                      beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
                      long_step=long_step, max_refine=max_refine,
                      trace=trace, f=f, factor_dtype=factor_dtype,
-                     compensated=compensated)
+                     compensated=compensated, ub=ub)
     m, n = A.shape
+    if ub is not None:
+        m = m + ub.idx2.shape[0]
 
     def cond(s: HsdState):
         mu = (s.z @ s.x + s.w @ s.y + s.phi * s.psi) / (n + m + 1)
@@ -396,8 +418,12 @@ def solve_canon(A, b, c, f, *,
                 factor_dtype=None,
                 pause_mu: float = 0.0,
                 compensated: bool = False,
+                ub: UbTail | None = None,
                 init: HsdState | None = None):
     """Solve max c'x, Ax <= b, x >= 0 via the HSD embedding.
+
+    ub: implicit singleton tail rows (ops/kkt.UbTail) — A then holds only
+    the general head rows; b spans head + tail.
 
     factor_dtype: None = factor at A's dtype; jnp.float32/"f32" = MXU-speed
     f32 factor with data-precision refinement.  pause_mu > 0 pauses the
@@ -411,12 +437,13 @@ def solve_canon(A, b, c, f, *,
         factor_dtype = {"f32": jnp.float32, "f64": None,
                         "none": None}[factor_dtype]
     if init is None:
-        init = init_state(A)
+        init = init_state(A, extra_rows=0 if ub is None else ub.idx2.shape[0])
     out = _hsd_loop(A, b, c, f, init,
                     max_iter=max_iter, eps=eps, step_factor=step_factor,
                     beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
                     pause_mu=pause_mu, long_step=long_step,
                     max_refine=max_refine, trace=trace,
-                    factor_dtype=factor_dtype, compensated=compensated)
+                    factor_dtype=factor_dtype, compensated=compensated,
+                    ub=ub)
     status, x, y, w, z, iters = finish_state(out, max_iter)
     return status, x, y, w, z, iters, out

@@ -77,12 +77,16 @@ def resolve_precision(cfg: SolverConfig, shape) -> str:
 
 
 def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
-                mk_args32, mk_args64, stage_knob: float, shape):
+                mk_args32, mk_args64, stage_knob: float, shape,
+                init_for=None):
     """Shared two-stage driver for the IPM solvers.
 
     run_stage(args, init, max_iter, pause, factor_dtype) -> state.
-    Returns the final f64 state.
+    init_for(args) builds a fresh initial state (defaults to
+    solver_mod.init_state on args[0]).  Returns the final f64 state.
     """
+    if init_for is None:
+        init_for = lambda args: solver_mod.init_state(args[0])
     precision = resolve_precision(cfg, shape)
     chunks, deadline = _deadline_iter_budget(cfg, max_iter)
 
@@ -101,7 +105,7 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
     warm = False
     if precision == "mixed":
         args32 = mk_args32()
-        state = solver_mod.init_state(args32[0])
+        state = init_for(args32)
         for budget in chunks:
             state = run_stage(args32, state, budget, stage_knob, None)
             st = int(np.asarray(state.status))
@@ -121,7 +125,7 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
 
     args64 = mk_args64()
     if state is None:
-        state = solver_mod.init_state(args64[0])
+        state = init_for(args64)
     factor_dtype = jnp.float32 if precision == "f32factor" else None
     state = run_to_end(args64, state, factor_dtype)
 
@@ -131,8 +135,7 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
     if (warm and int(np.asarray(state.status)) == int(Status.RUNNING)
             and int(np.asarray(state.iter)) >= max_iter
             and (deadline is None or time.monotonic() < deadline)):
-        state = run_to_end(args64, solver_mod.init_state(args64[0]),
-                           factor_dtype)
+        state = run_to_end(args64, init_for(args64), factor_dtype)
     return state
 
 
@@ -187,6 +190,45 @@ def _solve_intpt(canon: CanonLP, cfg: SolverConfig):
     return _intpt.finish_state(state, max_iter)
 
 
+def _hsd_structure_applies(canon: CanonLP) -> bool:
+    k = len(canon.ub_cols)
+    return k > 0 and canon.Q is None and (canon.m - k) <= canon.n
+
+
+def _hsd_structured_operands(canon: CanonLP):
+    """Split the canonical rows into [general head | singleton ub tail],
+    each padded to its own size class, for the Schur-eliminated KKT path
+    (ops/kkt.UbTail).  Returns None when the structure doesn't apply.
+
+    This is the TPU-first counterpart of the reference's sparse LDL'
+    absorbing singleton bound rows for free (solve.c:152-174 rows +
+    ldlt.c orderings): instead of sparse fill machinery, the tail block —
+    diagonal in the normal equations — is eliminated analytically, so
+    only the m1 x m1 head is ever factored and the tail rows are never
+    materialized on device (KEN-11: 14.7k-row factor instead of 51k).
+    """
+    if not _hsd_structure_applies(canon):
+        return None
+    k = len(canon.ub_cols)
+    m1 = canon.m - k
+    n = canon.n
+    M1 = size_class(m1)
+    K = size_class(k)
+    N = size_class(n)
+    A1 = np.zeros((M1, N), dtype=canon.A.dtype)
+    A1[:m1, :n] = canon.A[:m1, :n]
+    b = np.ones(M1 + K, dtype=canon.A.dtype)
+    b[:m1] = canon.b[:m1]
+    b[M1:M1 + k] = canon.b[m1:m1 + k]
+    c = np.zeros(N, dtype=canon.A.dtype)
+    c[:n] = canon.c[:n]
+    idx2 = np.zeros(K, dtype=np.int32)
+    idx2[:k] = canon.ub_cols
+    w2 = np.zeros(K, dtype=canon.A.dtype)
+    w2[:k] = canon.A[np.arange(m1, m1 + k), canon.ub_cols]
+    return dict(A1=A1, b=b, c=c, idx2=idx2, w2=w2, m1=m1, k=k, M1=M1, K=K)
+
+
 def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
     max_iter = cfg.max_iter or (
         _hsd.DEFAULT_MAX_ITER_LS if long_step else _hsd.DEFAULT_MAX_ITER)
@@ -194,12 +236,25 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
     if trace:
         print(_hsd.HSD_BANNER, flush=True)
 
-    def mk(dtype):
-        return (jnp.asarray(canon.A, dtype), jnp.asarray(canon.b, dtype),
-                jnp.asarray(canon.c, dtype))
+    struct = _hsd_structured_operands(canon)
+
+    if struct is None:
+        def mk(dtype):
+            return (jnp.asarray(canon.A, dtype), jnp.asarray(canon.b, dtype),
+                    jnp.asarray(canon.c, dtype), None)
+        shape = canon.A.shape
+    else:
+        def mk(dtype):
+            from ..ops.kkt import UbTail
+            return (jnp.asarray(struct["A1"], dtype),
+                    jnp.asarray(struct["b"], dtype),
+                    jnp.asarray(struct["c"], dtype),
+                    UbTail(jnp.asarray(struct["idx2"]),
+                           jnp.asarray(struct["w2"], dtype)))
+        shape = (struct["M1"], struct["A1"].shape[1])
 
     def run_stage(args, init, budget, pause, factor_dtype):
-        A, b, c = args
+        A, b, c, ub = args
         total = min(max_iter, int(np.asarray(init.iter)) + budget)
         sprint = pause > 0.0
         return _hsd.solve_canon(
@@ -211,12 +266,24 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
             max_refine=cfg.max_refine, trace=trace,
             factor_dtype=factor_dtype, pause_mu=pause,
             compensated=(cfg.precision == "dd" and not sprint),
-            init=init)[-1]
+            ub=ub, init=init)[-1]
+
+    def init_for(args):
+        ub = args[3]
+        return _hsd.init_state(
+            args[0], extra_rows=0 if ub is None else ub.idx2.shape[0])
 
     state = _run_staged(_hsd, run_stage, cfg, max_iter,
                         lambda: mk(jnp.float32), lambda: mk(jnp.float64),
-                        cfg.stage1_mu, canon.A.shape)
-    return _hsd.finish_state(state, max_iter)
+                        cfg.stage1_mu, shape, init_for=init_for)
+    status, x, y, w, z, iters = _hsd.finish_state(state, max_iter)
+    if struct is not None:
+        # reassemble canonical row order [head m1 | ub tail k] from the
+        # padded [M1 | K] layout
+        m1, k, M1 = struct["m1"], struct["k"], struct["M1"]
+        y = jnp.concatenate([y[:m1], y[M1:M1 + k]])
+        w = jnp.concatenate([w[:m1], w[M1:M1 + k]])
+    return status, x, y, w, z, iters
 
 
 def _solve_pd(canon: CanonLP, cfg: SolverConfig):
@@ -269,12 +336,16 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
         return Solution(status=canon.status, x=np.zeros(n), y=np.zeros(m0),
                         w=np.zeros(m0), z=np.zeros(n), primal_obj=0.0,
                         dual_obj=0.0)
-    if pad_to == "auto":
+    structured = (method in ("hsd", "hsdls")
+                  and _hsd_structure_applies(canon))
+    if pad_to == "auto" and not structured:
+        # the structured (UbTail) path assembles its own head/tail-class
+        # padding inside _solve_hsd; padding here would waste host memory
         canon = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
                              free_vars=cfg.free_vars, scale=cfg.scale,
                              pad_rows_to=size_class(canon.m),
                              pad_cols_to=size_class(canon.n))
-    elif pad_to != 1:
+    elif isinstance(pad_to, int) and pad_to != 1:
         canon = canonicalize(lp, pad_to=pad_to, dtype=cfg.dtype,
                              free_vars=cfg.free_vars, scale=cfg.scale)
     t0 = time.perf_counter()

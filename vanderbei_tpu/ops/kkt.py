@@ -53,19 +53,52 @@ def use_primal_form(m: int, n: int, has_q: bool) -> bool:
     return (m <= n) and not has_q
 
 
+class UbTail(NamedTuple):
+    """Structure descriptor for canonical tail rows that are SINGLETON
+    upper-bound rows (w2[i] * x[idx2[i]] <= b2[i]) or benign padding
+    (w2[i] = 0).
+
+    The reference canonicalizes finite bounds into extra rows
+    (solve.c:152-174) and lets its sparse LDL' absorb them; densely they
+    would quadratically poison the factor (KEN-11: 14.7k real rows + 36k
+    bound rows).  Their block of the normal equations is DIAGONAL, so the
+    factor Schur-eliminates them analytically: the effective column weight
+    becomes the harmonic combination 1/(D_j + w^2/E2_row(j)) — the
+    classic bounded-variable IPM diagonal — and only the m1 x m1 system is
+    ever factored.  idx2 values for padding rows are arbitrary (weight 0).
+    """
+    idx2: jax.Array   # (k,) int32 column index per tail row
+    w2: jax.Array     # (k,) coefficient per tail row (0 = padding)
+
+
+def tail_matvec(A1, ub: UbTail, x):
+    """[A1; S] @ x where S are the ub/padding tail rows."""
+    return jnp.concatenate([A1 @ x, ub.w2 * x[ub.idx2]])
+
+
+def tail_rmatvec(A1, ub: UbTail, y):
+    """[A1; S]' @ y."""
+    m1 = A1.shape[0]
+    out = A1.T @ y[:m1]
+    return out.at[ub.idx2].add(ub.w2 * y[m1:])
+
+
 class KKTFactor(NamedTuple):
     """Cholesky factor of the Jacobi-scaled normal matrix.
 
     L is the lower factor of Ms = S M S with S = diag(1/sqrt(diag M));
     s carries the scaling vector.  L may be a lower precision than the
     problem data (mixed-precision path) — solves cast through L.dtype and
-    the refinement in kkt_solve recovers accuracy.
+    the refinement in kkt_solve recovers accuracy.  g2 is the diagonal of
+    the Schur-eliminated ub-tail block (UbTail path), None otherwise.
     """
     L: jax.Array
     s: jax.Array
+    g2: jax.Array = None
 
 
-def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None):
+def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
+               ub: UbTail | None = None):
     """Cholesky-factor the reduced normal-equations matrix.
 
     E, D are clamped below by epsdiag like the reference clamps K's
@@ -84,11 +117,30 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None):
     epsdiag = jnp.asarray(epsdiag, A.dtype)
     Ec = jnp.maximum(E, epsdiag)
     Dc = jnp.maximum(D, epsdiag)
+    g2 = None
+    if ub is not None:
+        # Schur-eliminate the singleton ub tail: factor only the m1 x m1
+        # head with harmonically reduced column weights (see UbTail)
+        assert Q is None, "ub tail structure requires the primal (LP) form"
+        m1 = m
+        E1, E2 = Ec[:m1], Ec[m1:]
+        Dinv = 1.0 / Dc
+        d2 = ub.w2 * ub.w2 * Dinv[ub.idx2]
+        g2 = E2 + d2
+        corr = d2 * Dinv[ub.idx2] / g2       # exactly 0 on padding rows
+        Dt = Dinv.at[ub.idx2].add(-corr)     # = 1/(D_j + w^2/E2): harmonic
+        Ec = E1
     # the fused Pallas scaled-syrk covers every all-f32 or f32-factor case
     f32_path = (factor_dtype is not None
                 and jnp.dtype(factor_dtype) == jnp.float32
                 ) or (A.dtype == jnp.float32 and factor_dtype is None)
-    if f32_path:
+    if ub is not None:
+        from .pallas_kernels import scaled_syrk
+        if f32_path:
+            M = scaled_syrk(A, Dt, Ec)
+        else:
+            M = (A * Dt[None, :]) @ A.T + jnp.diag(Ec)
+    elif f32_path:
         # fused Pallas scaled-syrk: forms M directly in f32 on the MXU
         # (falls back to jnp off-TPU / non-tile shapes)
         from .pallas_kernels import scaled_syrk
@@ -132,7 +184,7 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None):
         return new_reg, jnp.linalg.cholesky(Ms + new_reg * eye)
 
     _, L = jax.lax.while_loop(cond, body, (jnp.zeros((), Ms.dtype), L0))
-    return KKTFactor(L, s)
+    return KKTFactor(L, s, g2)
 
 
 def _scaled_cho_solve(fac: KKTFactor, t):
@@ -142,9 +194,23 @@ def _scaled_cho_solve(fac: KKTFactor, t):
     return fac.s * u.astype(fac.s.dtype)
 
 
-def _raw_solve(A, Ec, Dc, fac: KKTFactor, ry, rx, Q=None):
+def _raw_solve(A, Ec, Dc, fac: KKTFactor, ry, rx, Q=None, ub=None):
     """One forward/backward pass: K [dy; dx] = [ry; rx] via the factor."""
     m, n = A.shape
+    if ub is not None:
+        # Schur path: solve the m1 head, back out the diagonal tail
+        m1 = m
+        Dinv = 1.0 / Dc
+        rxD = rx * Dinv
+        t2 = ub.w2 * rxD[ub.idx2] - ry[m1:]
+        # t~1 = A1 (D^-1 rx - scatter(w2 D^-1[idx] t2 / g2)) - ry1
+        fold = rxD.at[ub.idx2].add(-ub.w2 * Dinv[ub.idx2] * t2 / fac.g2)
+        t1 = A @ fold - ry[:m1]
+        dy1 = _scaled_cho_solve(fac, t1)
+        aty = A.T @ dy1
+        dy2 = (t2 - ub.w2 * Dinv[ub.idx2] * aty[ub.idx2]) / fac.g2
+        dx = (rx - aty - jnp.zeros_like(rx).at[ub.idx2].add(ub.w2 * dy2)) * Dinv
+        return jnp.concatenate([dy1, dy2]), dx
     if use_primal_form(m, n, Q is not None):
         t = A @ (rx / Dc) - ry
         dy = _scaled_cho_solve(fac, t)
@@ -160,7 +226,8 @@ def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
               epsdiag=1.0e-14,
               refine_tol=1.0e-10,
               max_refine: int = 8,
-              compensated: bool = False):
+              compensated: bool = False,
+              ub: UbTail | None = None):
     """Solve [[-E, A], [A', D+Q]] [dy; dx] = [rhs_y; rhs_x] with refinement.
 
     The residuals are evaluated against the TRUE (unclamped) E, D while the
@@ -181,25 +248,33 @@ def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
     Dc = jnp.maximum(D, epsdiag)
     if compensated:
         from .quad import matvec2
-        mv = matvec2
-        mvT = lambda M, v: matvec2(M.T, v)
+        base_mv = matvec2
+        base_mvT = lambda M, v: matvec2(M.T, v)
     else:
-        mv = lambda M, v: M @ v
-        mvT = lambda M, v: M.T @ v
+        base_mv = lambda M, v: M @ v
+        base_mvT = lambda M, v: M.T @ v
+    if ub is not None:
+        m1 = A.shape[0]
+        mv = lambda M, v: jnp.concatenate([base_mv(M, v),
+                                           ub.w2 * v[ub.idx2]])
+        mvT = lambda M, v: base_mvT(M, v[:m1]).at[ub.idx2].add(
+            ub.w2 * v[m1:])
+    else:
+        mv, mvT = base_mv, base_mvT
 
     def residual(dy, dx):
         r1 = rhs_y + E * dy - mv(A, dx)
         if Q is None:
             r2 = rhs_x - mvT(A, dy) - D * dx
         else:
-            r2 = rhs_x - mvT(A, dy) - D * dx - mv(Q, dx)
+            r2 = rhs_x - mvT(A, dy) - D * dx - base_mv(Q, dx)
         return r1, r2
 
     def max_resid(dy, dx):
         r1, r2 = residual(dy, dx)
         return jnp.maximum(jnp.max(jnp.abs(r1)), jnp.max(jnp.abs(r2)))
 
-    dy, dx = _raw_solve(A, Ec, Dc, L, rhs_y, rhs_x, Q)
+    dy, dx = _raw_solve(A, Ec, Dc, L, rhs_y, rhs_x, Q, ub=ub)
     maxbc = jnp.maximum(jnp.max(jnp.abs(rhs_y)), jnp.max(jnp.abs(rhs_x))) + 1.0
     maxrs = max_resid(dy, dx)
 
@@ -212,7 +287,7 @@ def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
     def body(carry):
         dy, dx, _, _, maxrs, _, it = carry
         r1, r2 = residual(dy, dx)
-        ey, ex = _raw_solve(A, Ec, Dc, L, r1, r2, Q)
+        ey, ex = _raw_solve(A, Ec, Dc, L, r1, r2, Q, ub=ub)
         dy2, dx2 = dy + ey, dx + ex
         return dy2, dx2, ey, ex, max_resid(dy2, dx2), maxrs, it + 1
 
