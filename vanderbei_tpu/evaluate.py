@@ -202,6 +202,18 @@ def _ref_agrees(rec: dict, ref_text: str | None) -> str:
 def write_readme(out_dir: str, method: str, records: list) -> None:
     d = os.path.join(out_dir, "netlib", method)
     os.makedirs(d, exist_ok=True)
+    # merge with any previously recorded sweep (partial re-runs update
+    # their rows in place rather than clobbering the tree)
+    prev_path = os.path.join(d, "records.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as fp:
+            prev = {r["name"]: r for r in json.load(fp)}
+        for r in records:
+            prev[r["name"]] = r
+        order = {n: i for i, n in
+                 enumerate(netlib.NETLIB_GOLDEN)}  # corpus order
+        records = sorted(prev.values(),
+                         key=lambda r: (r["nonzeros"], order.get(r["name"], 0)))
     ref = reference_outcomes(method)
     ref_it = reference_iterations(method)
     n_opt = sum(1 for r in records if r["status"] == int(Status.OPTIMAL))
