@@ -1,6 +1,6 @@
 m = 2172,n = 5167,nz = 35674
-iterations = 0
-objective  = nan
+iterations = 112
+objective  = 1.2278421e+05
 golden     = 1.2278424e+05
-seconds    = 0.278
-error 
+seconds    = 201.688
+optimal solution 

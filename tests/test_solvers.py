@@ -177,3 +177,17 @@ def test_padding_invariance_stress():
     # (x in original columns; y/w over the TRUE canonical rows)
     assert padded.x.shape == (lp.n,)
     assert padded.y.shape == exact.y.shape
+
+
+@pytest.mark.parametrize("name", ["BANDM", "STAIR"])
+def test_hsdls_mid_scale(name):
+    """The long-step linesearch variant on problems where it actually has
+    to work (hundreds of rows, the STAIR staircase is a reference
+    'dual unbounded' reject solved via free_vars='split')."""
+    from vanderbei_tpu.core.config import SolverConfig
+    lp = netlib.load(name)
+    sol = vt.solve(lp, method="hsdls",
+                   config=SolverConfig(free_vars="split"))
+    golden = netlib.golden_objective(name)
+    assert sol.status == int(Status.OPTIMAL)
+    assert abs(sol.primal_obj - golden) / max(1, abs(golden)) < 1e-6
