@@ -1,6 +1,6 @@
 m = 1099,n = 8405,nz = 37478
-iterations = 0
-objective  = nan
+iterations = 102
+objective  = 1.3044763e+00
 golden     = 1.3044763e+00
-seconds    = 0.798
-error 
+seconds    = 930.798
+optimal solution 
