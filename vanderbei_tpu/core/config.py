@@ -60,6 +60,10 @@ class SolverConfig:
     stage1_mu: float = 1.0e-4       # mixed-mode stage boundary (mu)
     mixed_min_dim: int = 1024       # "auto": mixed only at/above this dim
 
+    # Schur-eliminate singleton upper-bound rows from the KKT factor
+    # (ops/kkt.UbTail).  Disable to force the fully dense canonical system.
+    use_ub_structure: bool = True
+
     time_limit: float = float("inf")   # TIMLIM header / cfg seconds budget
 
     # simplex tolerances (pd.c:38-42)

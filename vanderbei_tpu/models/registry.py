@@ -236,7 +236,8 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
     if trace:
         print(_hsd.HSD_BANNER, flush=True)
 
-    struct = _hsd_structured_operands(canon)
+    struct = (_hsd_structured_operands(canon)
+              if cfg.use_ub_structure else None)
 
     if struct is None:
         def mk(dtype):
@@ -336,7 +337,7 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
         return Solution(status=canon.status, x=np.zeros(n), y=np.zeros(m0),
                         w=np.zeros(m0), z=np.zeros(n), primal_obj=0.0,
                         dual_obj=0.0)
-    structured = (method in ("hsd", "hsdls")
+    structured = (method in ("hsd", "hsdls") and cfg.use_ub_structure
                   and _hsd_structure_applies(canon))
     if pad_to == "auto" and not structured:
         # the structured (UbTail) path assembles its own head/tail-class
