@@ -191,3 +191,31 @@ def test_hsdls_mid_scale(name):
     golden = netlib.golden_objective(name)
     assert sol.status == int(Status.OPTIMAL)
     assert abs(sol.primal_obj - golden) / max(1, abs(golden)) < 1e-6
+
+
+def test_free_var_with_finite_ub_falls_back_to_dense():
+    """A split free variable with a finite upper bound mirrors -1 into its
+    ub row (canonicalize step 6), so that tail row is not a singleton; the
+    UbTail structured path must NOT engage (it would drop the mirror entry
+    and enforce x+ <= u instead of x+ - x- <= u).  Regression for the
+    round-2 advisor's high-severity finding."""
+    from vanderbei_tpu.core.builder import LPBuilder
+    from vanderbei_tpu.core.config import SolverConfig
+
+    # min x + y  s.t.  x + y >= -2,  x free with x <= -1,  0 <= y <= 5
+    # optimum: x = -2, y = 0 -> objective -2
+    b = LPBuilder("freeub")
+    b.var("x", lower=-np.inf, upper=-1.0, obj=1.0)
+    b.var("y", lower=0.0, upper=5.0, obj=1.0)
+    b.constraint("r1", {"x": 1.0, "y": 1.0}, lo=-2.0)
+    lp = b.build()
+
+    for use_struct in (True, False):
+        cfg = SolverConfig(free_vars="split", use_ub_structure=use_struct)
+        sol = vt.solve(lp, method="hsd", config=cfg)
+        assert sol.status == int(Status.OPTIMAL), (use_struct, sol.status)
+        assert sol.primal_obj == pytest.approx(-2.0, abs=1e-7), use_struct
+        # the optimum is a face; assert feasibility of the returned point
+        x, y = sol.x
+        assert x + y >= -2.0 - 1e-6 and x <= -1.0 + 1e-6
+        assert -1e-6 <= y <= 5.0 + 1e-6

@@ -45,6 +45,9 @@ def main(argv=None) -> int:
                    help="write the per-iteration structured metrics table "
                         "(device-side scan; hsd only) to this CSV path")
     args = p.parse_args(argv)
+    if args.metrics and args.method not in ("hsd", "hsdls"):
+        p.error("--metrics requires --method hsd or hsdls "
+                "(the device-side scan instruments the HSD loop)")
     enable_persistent_cache()
 
     banner = (
@@ -67,7 +70,8 @@ def main(argv=None) -> int:
         cfg = cfg.with_(time_limit=args.time_limit)
     sol = solve(lp, method=args.method, config=cfg)
     if args.metrics:
-        _write_metrics_csv(lp, cfg, args.metrics)
+        _write_metrics_csv(lp, cfg, args.metrics,
+                           long_step=(args.method == "hsdls"))
         if args.verbose:
             print(f"metrics table -> {args.metrics}")
     print(status_message(sol.status))
@@ -82,19 +86,31 @@ def main(argv=None) -> int:
     return 0
 
 
-def _write_metrics_csv(lp, cfg: SolverConfig, path: str) -> None:
+def _write_metrics_csv(lp, cfg: SolverConfig, path: str,
+                       long_step: bool = False) -> None:
     """Run the observability (scan) variant and dump the per-iteration
-    table — the structured counterpart of the reference's stdout trace."""
+    table — the structured counterpart of the reference's stdout trace.
+
+    Traces the same problem configuration as the reported solve: cfg's
+    scaling, free-variable policy and dtype, and the requested method's
+    loop variant (hsd / hsdls long-step)."""
     import numpy as np
     import jax.numpy as jnp
     from .core.canonicalize import canonicalize
     from .models import hsd
 
-    canon = canonicalize(lp, dtype=cfg.dtype, free_vars=cfg.free_vars)
+    canon = canonicalize(lp, dtype=cfg.dtype, free_vars=cfg.free_vars,
+                         scale=cfg.scale)
     A = jnp.asarray(canon.A)
+    max_iter = cfg.max_iter or (hsd.DEFAULT_MAX_ITER_LS if long_step
+                                else hsd.DEFAULT_MAX_ITER)
     (st, *_), rows = hsd.solve_canon_metrics(
         A, jnp.asarray(canon.b), jnp.asarray(canon.c), canon.f,
-        max_iter=cfg.max_iter or hsd.DEFAULT_MAX_ITER, eps=cfg.hsd_eps)
+        max_iter=max_iter, eps=cfg.hsd_eps, long_step=long_step,
+        beta=cfg.beta, step_factor=cfg.hsd_step_factor,
+        epsdiag=cfg.epsdiag, refine_tol=cfg.refine_tol,
+        max_refine=cfg.max_refine,
+        compensated=(cfg.precision == "dd"))
     cols = ["mu", "primal_obj", "dual_obj", "primal_infeas", "dual_infeas"]
     valid = np.asarray(rows["valid"])
     data = {k: np.asarray(rows[k]) for k in cols}

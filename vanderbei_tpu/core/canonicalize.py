@@ -239,6 +239,38 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
     )
 
 
+def pad_canon(canon: CanonLP, pad_rows_to: int, pad_cols_to: int) -> CanonLP:
+    """Re-pad an already-canonicalized form to absolute padded dims.
+
+    Cheaper than re-running canonicalize when only the padding target
+    changed (size-class padding decided after the exact dims are known).
+    Padding is benign: zero rows with b = 1, zero cost columns.
+    """
+    m, n = canon.m, canon.n
+    if pad_rows_to < m or pad_cols_to < n:
+        raise ValueError(f"pad target ({pad_rows_to},{pad_cols_to}) < "
+                         f"canonical dims ({m},{n})")
+    dtype = canon.A.dtype
+    A = np.zeros((pad_rows_to, pad_cols_to), dtype=dtype)
+    A[:m, :n] = canon.A[:m, :n]
+    b = np.ones(pad_rows_to, dtype=dtype)
+    b[:m] = canon.b[:m]
+    c = np.zeros(pad_cols_to, dtype=dtype)
+    c[:n] = canon.c[:n]
+    Q = None
+    if canon.Q is not None:
+        Q = np.zeros((pad_cols_to, pad_cols_to), dtype=dtype)
+        Q[:n, :n] = canon.Q[:n, :n]
+    row_scale = col_scale = None
+    if canon.row_scale is not None:
+        row_scale = np.ones(pad_rows_to)
+        row_scale[:m] = canon.row_scale[:m]
+        col_scale = np.ones(pad_cols_to)
+        col_scale[:n] = canon.col_scale[:n]
+    return dataclasses.replace(canon, A=A, b=b, c=c, Q=Q,
+                               row_scale=row_scale, col_scale=col_scale)
+
+
 def recover_solution(canon: CanonLP, x, y, w, z):
     """Map canonical-space solver output back to original coordinates.
 

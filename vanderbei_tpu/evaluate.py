@@ -132,17 +132,21 @@ def run_sweep(method: str = "hsd", out_dir: str | None = None,
         # same MPS file (a handful of corpus files' true optima differ from
         # the published table at ~1e-6: our hsd, our pd and the reference's
         # simpo/ipo all agree with each other there, not with the table)
+        # the reference tables record the solver-view (canonical max-form)
+        # value: the negated original-sense objective for min problems —
+        # compare SIGNED values so a sign-flipped objective can't pass
+        sense = 1.0 if lp.maximize else -1.0
         rel_ref = float("inf")
         if status == int(Status.OPTIMAL) and name in ref:
             try:
-                # reference tables record the solver-view (max-form) value
                 ref_obj = float(ref[name])
-                rel_ref = (abs(abs(ref_obj) - abs(obj))
+                rel_ref = (abs(ref_obj - sense * obj)
                            / max(1.0, abs(ref_obj)))
             except ValueError:
                 pass
         rec = dict(name=name, rows=rows, cols=cols, nonzeros=nz,
                    status=int(status), objective=obj, golden=golden,
+                   solver_view=sense * obj,
                    relerr=rel, relerr_ref=rel_ref, iterations=int(iters),
                    seconds=round(elapsed, 3))
         records.append(rec)
@@ -187,9 +191,15 @@ def _ref_agrees(rec: dict, ref_text: str | None) -> str:
         if not ours_optimal:
             return f"ref optimal ({ref_text})"
         # the reference table records the solver-view (canonical max-form)
-        # objective; ours records the original sense — compare magnitudes
-        if (abs(abs(ref_obj) - abs(rec["objective"]))
-                / max(1.0, abs(ref_obj)) < 1e-4):
+        # objective; compare against our signed solver-view value (older
+        # records without it fall back to the magnitude of the objective)
+        if "solver_view" in rec:
+            close = (abs(ref_obj - rec["solver_view"])
+                     / max(1.0, abs(ref_obj)) < 1e-4)
+        else:   # legacy record: magnitude comparison only
+            close = (abs(abs(ref_obj) - abs(rec["objective"]))
+                     / max(1.0, abs(ref_obj)) < 1e-4)
+        if close:
             return "agree"
         return f"ref {ref_text}"
     except ValueError:

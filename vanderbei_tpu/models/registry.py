@@ -29,7 +29,8 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.canonicalize import canonicalize, recover_solution, CanonLP
+from ..core.canonicalize import (canonicalize, pad_canon, recover_solution,
+                                 CanonLP)
 from ..core.config import SolverConfig
 from ..core.lp import LP, Solution
 from ..core.status import Status
@@ -140,7 +141,10 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
 
 
 def _stage_done(solver_mod, A, state, knob: float) -> bool:
-    m, n = A.shape
+    # derive dims from the state vectors, not A: on the structured (UbTail)
+    # path A is only the head block while y spans head + tail rows, and the
+    # device pause condition divides by the full n+m+1
+    m, n = len(state.y), len(state.x)
     if solver_mod is _hsd:
         mu = (np.asarray(state.z) @ np.asarray(state.x)
               + np.asarray(state.w) @ np.asarray(state.y)
@@ -192,7 +196,16 @@ def _solve_intpt(canon: CanonLP, cfg: SolverConfig):
 
 def _hsd_structure_applies(canon: CanonLP) -> bool:
     k = len(canon.ub_cols)
-    return k > 0 and canon.Q is None and (canon.m - k) <= canon.n
+    if not (k > 0 and canon.Q is None and (canon.m - k) <= canon.n):
+        return False
+    # a split free variable (free_vars='split') with a finite upper bound
+    # mirrors -1 into its ub row (canonicalize step 6), so that tail row is
+    # NOT a singleton; UbTail would silently drop the mirror entry and
+    # enforce x+ <= u instead of x+ - x- <= u — fall back to dense there
+    if canon.free_cols is not None and len(canon.free_cols):
+        if np.intersect1d(canon.free_cols, canon.ub_cols).size:
+            return False
+    return True
 
 
 def _hsd_structured_operands(canon: CanonLP):
@@ -342,15 +355,18 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
     if pad_to == "auto" and not structured:
         # the structured (UbTail) path assembles its own head/tail-class
         # padding inside _solve_hsd; padding here would waste host memory
-        canon = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
-                             free_vars=cfg.free_vars, scale=cfg.scale,
-                             pad_rows_to=size_class(canon.m),
-                             pad_cols_to=size_class(canon.n))
+        canon = pad_canon(canon, size_class(canon.m), size_class(canon.n))
     elif isinstance(pad_to, int) and pad_to != 1:
-        canon = canonicalize(lp, pad_to=pad_to, dtype=cfg.dtype,
-                             free_vars=cfg.free_vars, scale=cfg.scale)
+        canon = pad_canon(canon,
+                          -(-canon.m // pad_to) * pad_to,
+                          -(-canon.n // pad_to) * pad_to)
     t0 = time.perf_counter()
     status, x, y, w, z, iters = get_solver(method)(canon, cfg)
+    if int(np.asarray(status)) == int(Status.RUNNING):
+        # a TIMLIM deadline stop exits the chunked loop mid-budget with the
+        # internal RUNNING sentinel; report it as the reference's nearest
+        # outcome (iteration limit) rather than leaking the sentinel
+        status = int(Status.ITERATION_LIMIT)
     x = np.asarray(x)
     elapsed = time.perf_counter() - t0
     x, y, w, z, pobj, dobj, b_canon = recover_solution(canon, x, y, w, z)
