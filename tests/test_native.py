@@ -28,10 +28,14 @@ def assert_lp_equal(a, b):
     assert a.inftol == b.inftol
 
 
+ALL_NETLIB = sorted(os.path.basename(p)
+                    for p in glob.glob(os.path.join(NETLIB, "*.mps")))
+
+
 @pytest.mark.skipif(not os.path.isdir(NETLIB), reason="corpus absent")
-@pytest.mark.parametrize("fname", ["afiro.mps", "boeing1.mps", "blend.mps",
-                                   "forplan.mps", "etamacro.mps"])
+@pytest.mark.parametrize("fname", ALL_NETLIB or ["corpus-absent"])
 def test_matches_python_reader(fname):
+    """Native reader == Python reader on EVERY on-disk netlib file."""
     path = os.path.join(NETLIB, fname)
     assert_lp_equal(read_mps_native(path), read_mps(path, engine="python"))
 

@@ -145,3 +145,66 @@ def test_full_mesh_solve_equals_single_device():
         golden = netlib.golden_objective(names[idx])
         sign = 1.0 if canon.maximize else -1.0
         assert abs(sign * obj_m - golden) / max(1, abs(golden)) < 1e-6
+
+
+def test_batched_hsd_structured_ub_tail():
+    """Problems with upper-bound tails batched through the structured
+    (UbTail) class path must match their golden optima and the dense
+    batched solve — VERDICT r2 item 7 (UbTail plumbed through batching)."""
+    from vanderbei_tpu.parallel.batch import stack_class_structured
+    names = ["KB2", "RECIPE", "BOEING2"]     # all carry ub-row tails
+    lps = [netlib.load(n) for n in names]
+    classes, aborted = group_by_class(lps, granularity=128,
+                                      use_ub_structure=True)
+    assert not aborted
+    skeys = [k for k in classes if k[0] == "s"]
+    assert skeys, f"no structured class formed: {list(classes)}"
+    solved = {}
+    for key in skeys:
+        _, M1, N, K = key
+        entries = classes[key]
+        A1, b, c, ub = stack_class_structured(entries, M1, N, K)
+        st, x, y, w, z, it = solve_batch_hsd(
+            jnp.asarray(A1), jnp.asarray(b), jnp.asarray(c),
+            ub=jax.tree.map(jnp.asarray, ub))
+        st = np.asarray(st)
+        assert (st == int(Status.OPTIMAL)).all(), (key, st)
+        for j, (idx, canon) in enumerate(entries):
+            obj_canon = float(np.asarray(c[j]) @ np.asarray(x[j])) + canon.f
+            sign = 1.0 if canon.maximize else -1.0
+            solved[names[idx]] = sign * obj_canon
+    for name in solved:
+        golden = netlib.golden_objective(name)
+        assert abs(solved[name] - golden) / max(1, abs(golden)) < 1e-6, (
+            name, solved[name], golden)
+
+
+def test_tp_product_path_equals_single_device():
+    """solve(lp, mesh=...) — the tensor-parallel PRODUCT path: one wide LP
+    with A column-sharded 8 ways through the same registry/HSD code, equal
+    to the single-device solve (VERDICT r2 item 6)."""
+    import vanderbei_tpu as vt
+    from vanderbei_tpu.core.config import SolverConfig
+
+    lp = netlib.load("SCSD1")          # 77 x 760: wide, the TP-profitable shape
+    cfg = SolverConfig()
+    ref = vt.solve(lp, method="hsd", config=cfg)
+    mesh = make_mesh(8, model_parallel=8)
+    tp = vt.solve(lp, method="hsd", config=cfg, mesh=mesh)
+    assert ref.status == tp.status == int(Status.OPTIMAL)
+    assert abs(tp.primal_obj - ref.primal_obj) <= 1e-10 * max(
+        1.0, abs(ref.primal_obj))
+    # GSPMD reassociates the psum reductions, so the iterate paths differ
+    # in the last bits; on SCSD1's (mildly degenerate) optimal face the
+    # solutions agree to solver tolerance, not machine epsilon
+    np.testing.assert_allclose(tp.x, ref.x, rtol=1e-5, atol=1e-6)
+    golden = netlib.golden_objective("SCSD1")
+    assert abs(tp.primal_obj - golden) / max(1, abs(golden)) < 1e-6
+
+
+def test_tp_mesh_rejects_simplex():
+    import vanderbei_tpu as vt
+    lp = netlib.load("AFIRO")
+    mesh = make_mesh(8, model_parallel=8)
+    with pytest.raises(ValueError, match="hsd family"):
+        vt.solve(lp, method="pd", mesh=mesh)

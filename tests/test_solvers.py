@@ -219,3 +219,17 @@ def test_free_var_with_finite_ub_falls_back_to_dense():
         x, y = sol.x
         assert x + y >= -2.0 - 1e-6 and x <= -1.0 + 1e-6
         assert -1e-6 <= y <= 5.0 + 1e-6
+
+
+@pytest.mark.skipif(bool(os.environ.get("SKIP_SLOW")),
+                    reason="SKIP_SLOW set")
+def test_twophase_bandm_mid_scale():
+    """Backs the README claim: two-phase simplex validated at mid scale —
+    BANDM (305 rows original, 610 canonical), ~1.4k pivots through the
+    dense-B^-1 product-form/refresh machinery."""
+    lp = netlib.load("BANDM")
+    sol = vt.solve(lp, method="twophase")
+    golden = netlib.golden_objective("BANDM")
+    assert sol.status == int(Status.OPTIMAL)
+    assert abs(sol.primal_obj - golden) / abs(golden) < 1e-6
+    assert 600 < sol.iterations < 5000

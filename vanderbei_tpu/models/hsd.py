@@ -211,14 +211,17 @@ def make_step(A, b, c, *,
 
             fac = kkt_factor(A, E, D, epsdiag, factor_dtype=factor_dtype,
                              ub=ub)
-            fy, fx = kkt_solve(A, E, D, fac, rho_rhs, -sigma_rhs,
+            # the f- and g-systems (hsd.c:220-231) share the factor; solve
+            # them as one 2-column rhs so the blocked triangular-solve
+            # chain (the latency-bound op on TPU) runs once, not twice
+            sy, sx = kkt_solve(A, E, D, fac,
+                               jnp.stack([rho_rhs, -b], axis=1),
+                               jnp.stack([-sigma_rhs, -c], axis=1),
                                epsdiag=epsdiag, refine_tol=refine_tol,
                                max_refine=max_refine, compensated=compensated,
                                ub=ub)
-            gy, gx = kkt_solve(A, E, D, fac, -b, -c,
-                               epsdiag=epsdiag, refine_tol=refine_tol,
-                               max_refine=max_refine, compensated=compensated,
-                               ub=ub)
+            fy, gy = sy[:, 0], sy[:, 1]
+            fx, gx = sx[:, 0], sx[:, 1]
 
             dphi = ((dot(c, fx) - dot(b, fy) + gamma)
                     / (dot(c, gx) - dot(b, gy) - psi / phi))  # hsd.c:230-231

@@ -208,7 +208,8 @@ def _hsd_structure_applies(canon: CanonLP) -> bool:
     return True
 
 
-def _hsd_structured_operands(canon: CanonLP):
+def _hsd_structured_operands(canon: CanonLP, M1: int | None = None,
+                             K: int | None = None, N: int | None = None):
     """Split the canonical rows into [general head | singleton ub tail],
     each padded to its own size class, for the Schur-eliminated KKT path
     (ops/kkt.UbTail).  Returns None when the structure doesn't apply.
@@ -219,15 +220,18 @@ def _hsd_structured_operands(canon: CanonLP):
     diagonal in the normal equations — is eliminated analytically, so
     only the m1 x m1 head is ever factored and the tail rows are never
     materialized on device (KEN-11: 14.7k-row factor instead of 51k).
+
+    M1/K/N override the padded targets (batched size classes); default is
+    the per-problem power-of-two size class.
     """
     if not _hsd_structure_applies(canon):
         return None
     k = len(canon.ub_cols)
     m1 = canon.m - k
     n = canon.n
-    M1 = size_class(m1)
-    K = size_class(k)
-    N = size_class(n)
+    M1 = M1 if M1 is not None else size_class(m1)
+    K = K if K is not None else size_class(k)
+    N = N if N is not None else size_class(n)
     A1 = np.zeros((M1, N), dtype=canon.A.dtype)
     A1[:m1, :n] = canon.A[:m1, :n]
     b = np.ones(M1 + K, dtype=canon.A.dtype)
@@ -242,7 +246,34 @@ def _hsd_structured_operands(canon: CanonLP):
     return dict(A1=A1, b=b, c=c, idx2=idx2, w2=w2, m1=m1, k=k, M1=M1, K=K)
 
 
-def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
+def _place_tp(args, mesh):
+    """Shard one LP's operands over the mesh's "model" axis (tensor
+    parallelism for a single large problem).
+
+    A's COLUMNS shard (each device holds A[:, shard] — the per-device
+    partial syrk + psum decomposition of the normal equations,
+    parallel/distributed.py); the n-vector c shards to match; row-space
+    operands replicate.  The SAME jitted HSD loop then runs under GSPMD —
+    XLA inserts the psum/all-gather collectives — so the distributed
+    product path shares every line of solver code with the local one
+    (this fills the scaling-in-(m,n) role of the reference's sparse LDL',
+    ldlt.c, whose whole purpose was large single problems).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    A, b, c, ub = args
+    A = jax.device_put(A, NamedSharding(mesh, P(None, "model")))
+    b = jax.device_put(b, NamedSharding(mesh, P(None)))
+    c = jax.device_put(c, NamedSharding(mesh, P("model")))
+    if ub is not None:
+        from ..ops.kkt import UbTail
+        ub = UbTail(jax.device_put(ub.idx2, NamedSharding(mesh, P(None))),
+                    jax.device_put(ub.w2, NamedSharding(mesh, P(None))))
+    return A, b, c, ub
+
+
+def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False,
+               mesh=None):
     max_iter = cfg.max_iter or (
         _hsd.DEFAULT_MAX_ITER_LS if long_step else _hsd.DEFAULT_MAX_ITER)
     trace = cfg.verbose >= 2
@@ -254,17 +285,20 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False):
 
     if struct is None:
         def mk(dtype):
-            return (jnp.asarray(canon.A, dtype), jnp.asarray(canon.b, dtype),
+            args = (jnp.asarray(canon.A, dtype),
+                    jnp.asarray(canon.b, dtype),
                     jnp.asarray(canon.c, dtype), None)
+            return _place_tp(args, mesh) if mesh is not None else args
         shape = canon.A.shape
     else:
         def mk(dtype):
             from ..ops.kkt import UbTail
-            return (jnp.asarray(struct["A1"], dtype),
+            args = (jnp.asarray(struct["A1"], dtype),
                     jnp.asarray(struct["b"], dtype),
                     jnp.asarray(struct["c"], dtype),
                     UbTail(jnp.asarray(struct["idx2"]),
                            jnp.asarray(struct["w2"], dtype)))
+            return _place_tp(args, mesh) if mesh is not None else args
         shape = (struct["M1"], struct["A1"].shape[1])
 
     def run_stage(args, init, budget, pause, factor_dtype):
@@ -311,7 +345,8 @@ def _solve_twophase(canon: CanonLP, cfg: SolverConfig):
 SOLVERS = {
     "intpt": _solve_intpt,
     "hsd": _solve_hsd,
-    "hsdls": lambda canon, cfg: _solve_hsd(canon, cfg, long_step=True),
+    "hsdls": lambda canon, cfg, **kw: _solve_hsd(canon, cfg,
+                                                 long_step=True, **kw),
     "pd": _solve_pd,
     "twophase": _solve_twophase,
 }
@@ -326,12 +361,16 @@ def get_solver(method: str):
 
 
 def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
-          pad_to: int | str = "auto") -> Solution:
+          pad_to: int | str = "auto", mesh=None) -> Solution:
     """Canonicalize and solve an LP; the analogue of solvelp (solve.c:28).
 
     pad_to: "auto" (default) pads canonical dims to power-of-two size
     classes so problems share compiled executables; an int pads to that
     multiple (1 = exact dims).
+
+    mesh: a jax.sharding.Mesh with a "model" axis — solves this ONE
+    problem tensor-parallel (A column-sharded, GSPMD collectives; hsd
+    family only).
     """
     cfg = config or SolverConfig()
     cfg = cfg.with_(method=method).apply_lp_params(lp)
@@ -361,7 +400,12 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
                           -(-canon.m // pad_to) * pad_to,
                           -(-canon.n // pad_to) * pad_to)
     t0 = time.perf_counter()
-    status, x, y, w, z, iters = get_solver(method)(canon, cfg)
+    if mesh is not None and method not in ("hsd", "hsdls"):
+        raise ValueError(
+            f"mesh (tensor-parallel) solve supports the hsd family, "
+            f"not {method!r}")
+    kw = {"mesh": mesh} if mesh is not None else {}
+    status, x, y, w, z, iters = get_solver(method)(canon, cfg, **kw)
     if int(np.asarray(status)) == int(Status.RUNNING):
         # a TIMLIM deadline stop exits the chunked loop mid-budget with the
         # internal RUNNING sentinel; report it as the reference's nearest

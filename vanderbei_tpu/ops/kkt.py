@@ -188,37 +188,45 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
 
 
 def _scaled_cho_solve(fac: KKTFactor, t):
-    """Solve M u = t through the scaled factor: u = S Ms^-1 S t."""
-    st = (fac.s * t).astype(fac.L.dtype)
+    """Solve M u = t through the scaled factor: u = S Ms^-1 S t.
+
+    t: (m, k) — multiple right-hand sides share the one factor (and one
+    blocked triangular-solve chain), the reason the HSD step folds its f-
+    and g-systems into a single call."""
+    st = (fac.s[:, None] * t).astype(fac.L.dtype)
     u = cho_solve((fac.L, True), st)
-    return fac.s * u.astype(fac.s.dtype)
+    return fac.s[:, None] * u.astype(fac.s.dtype)
 
 
 def _raw_solve(A, Ec, Dc, fac: KKTFactor, ry, rx, Q=None, ub=None):
-    """One forward/backward pass: K [dy; dx] = [ry; rx] via the factor."""
+    """One forward/backward pass: K [dy; dx] = [ry; rx] via the factor.
+
+    ry: (m, k), rx: (n, k) column-stacked right-hand sides."""
     m, n = A.shape
     if ub is not None:
         # Schur path: solve the m1 head, back out the diagonal tail
         m1 = m
-        Dinv = 1.0 / Dc
+        Dinv = (1.0 / Dc)[:, None]
+        g2 = fac.g2[:, None]
+        w2 = ub.w2[:, None]
         rxD = rx * Dinv
-        t2 = ub.w2 * rxD[ub.idx2] - ry[m1:]
+        t2 = w2 * rxD[ub.idx2] - ry[m1:]
         # t~1 = A1 (D^-1 rx - scatter(w2 D^-1[idx] t2 / g2)) - ry1
-        fold = rxD.at[ub.idx2].add(-ub.w2 * Dinv[ub.idx2] * t2 / fac.g2)
+        fold = rxD.at[ub.idx2].add(-w2 * Dinv[ub.idx2] * t2 / g2)
         t1 = A @ fold - ry[:m1]
         dy1 = _scaled_cho_solve(fac, t1)
         aty = A.T @ dy1
-        dy2 = (t2 - ub.w2 * Dinv[ub.idx2] * aty[ub.idx2]) / fac.g2
-        dx = (rx - aty - jnp.zeros_like(rx).at[ub.idx2].add(ub.w2 * dy2)) * Dinv
+        dy2 = (t2 - w2 * Dinv[ub.idx2] * aty[ub.idx2]) / g2
+        dx = (rx - aty - jnp.zeros_like(rx).at[ub.idx2].add(w2 * dy2)) * Dinv
         return jnp.concatenate([dy1, dy2]), dx
     if use_primal_form(m, n, Q is not None):
-        t = A @ (rx / Dc) - ry
+        t = A @ (rx / Dc[:, None]) - ry
         dy = _scaled_cho_solve(fac, t)
-        dx = (rx - A.T @ dy) / Dc
+        dx = (rx - A.T @ dy) / Dc[:, None]
     else:
-        t = rx + A.T @ (ry / Ec)
+        t = rx + A.T @ (ry / Ec[:, None])
         dx = _scaled_cho_solve(fac, t)
-        dy = (A @ dx - ry) / Ec
+        dy = (A @ dx - ry) / Ec[:, None]
     return dy, dx
 
 
@@ -246,28 +254,34 @@ def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
     refine_tol = jnp.asarray(refine_tol, A.dtype)
     Ec = jnp.maximum(E, epsdiag)
     Dc = jnp.maximum(D, epsdiag)
+    # normalize rhs to column-stacked (dim, k); restore shape on return
+    single = rhs_y.ndim == 1
+    if single:
+        rhs_y = rhs_y[:, None]
+        rhs_x = rhs_x[:, None]
     if compensated:
         from .quad import matvec2
-        base_mv = matvec2
-        base_mvT = lambda M, v: matvec2(M.T, v)
+        col_mv2 = jax.vmap(matvec2, in_axes=(None, 1), out_axes=1)
+        base_mv = col_mv2
+        base_mvT = lambda M, v: col_mv2(M.T, v)
     else:
         base_mv = lambda M, v: M @ v
         base_mvT = lambda M, v: M.T @ v
     if ub is not None:
         m1 = A.shape[0]
         mv = lambda M, v: jnp.concatenate([base_mv(M, v),
-                                           ub.w2 * v[ub.idx2]])
+                                           ub.w2[:, None] * v[ub.idx2]])
         mvT = lambda M, v: base_mvT(M, v[:m1]).at[ub.idx2].add(
-            ub.w2 * v[m1:])
+            ub.w2[:, None] * v[m1:])
     else:
         mv, mvT = base_mv, base_mvT
 
     def residual(dy, dx):
-        r1 = rhs_y + E * dy - mv(A, dx)
+        r1 = rhs_y + E[:, None] * dy - mv(A, dx)
         if Q is None:
-            r2 = rhs_x - mvT(A, dy) - D * dx
+            r2 = rhs_x - mvT(A, dy) - D[:, None] * dx
         else:
-            r2 = rhs_x - mvT(A, dy) - D * dx - base_mv(Q, dx)
+            r2 = rhs_x - mvT(A, dy) - D[:, None] * dx - base_mv(Q, dx)
         return r1, r2
 
     def max_resid(dy, dx):
@@ -299,6 +313,9 @@ def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
     worse = (maxrs > oldmaxrs) & (it > 0)
     dy = jnp.where(worse, dy - ey, dy)
     dx = jnp.where(worse, dx - ex, dx)
+    if single:
+        dy = dy[:, 0]
+        dx = dx[:, 0]
     return dy, dx
 
 

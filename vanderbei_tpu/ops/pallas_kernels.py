@@ -112,7 +112,13 @@ def scaled_syrk_pallas(A, s, e, *, block_m: int = 512, block_k: int = 512,
 
 
 def scaled_syrk(A, s, e, *, interpret: bool = False):
-    """M = A diag(s) A' + diag(e), Pallas on TPU, jnp elsewhere."""
+    """M = A diag(s) A' + diag(e), Pallas on TPU, jnp elsewhere.
+
+    Set VANDERBEI_NO_PALLAS=1 to force the jnp path everywhere (crash
+    bisection / fallback guard)."""
+    import os
+    if os.environ.get("VANDERBEI_NO_PALLAS"):
+        return scaled_syrk_reference(A, s, e)
     if jax.default_backend() != "tpu" and not interpret:
         return scaled_syrk_reference(A, s, e)
     m, n = A.shape

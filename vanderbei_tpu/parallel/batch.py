@@ -30,6 +30,7 @@ from ..core.canonicalize import canonicalize, CanonLP
 from ..core.config import SolverConfig
 from ..core.status import Status
 from ..models import hsd as _hsd
+from ..ops.kkt import UbTail
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
@@ -42,24 +43,40 @@ def size_class(canon_m: int, n: int, granularity: int = 128) -> tuple:
     return (_round_up(canon_m, granularity), _round_up(n, granularity))
 
 
-def group_by_class(lps, granularity: int = 128):
+def group_by_class(lps, granularity: int = 128,
+                   use_ub_structure: bool = False, scale: str = "none",
+                   free_vars: str = "reject"):
     """Canonicalize each LP and bucket by padded shape.
 
-    Returns {(mp, np): [(index, CanonLP), ...]} over the input order; LPs
-    whose canonicalization aborts (free variables) are returned separately
-    as [(index, status)].
+    Returns {key: [(index, CanonLP), ...]} over the input order; LPs whose
+    canonicalization aborts (free variables) are returned separately as
+    [(index, status)].
+
+    With use_ub_structure, problems whose canonical tail is all singleton
+    upper-bound rows bucket by the STRUCTURED class key
+    ("s", M1, N, K) — head dims + tail count, each rounded up — and are
+    solved through the Schur-eliminated UbTail path; the rest bucket by
+    the dense key ("d", M, N).
     """
+    from ..models.registry import _hsd_structure_applies
     classes: dict = {}
     aborted = []
-    canons = []
     for idx, lp in enumerate(lps):
-        canon = canonicalize(lp, pad_to=1)
+        canon = canonicalize(lp, pad_to=1, scale=scale, free_vars=free_vars)
         if canon.status != int(Status.RUNNING):
             aborted.append((idx, canon.status))
             continue
-        key = size_class(canon.m, canon.n, granularity)
+        if use_ub_structure and _hsd_structure_applies(canon):
+            k = len(canon.ub_cols)
+            m1 = canon.m - k
+            key = ("s", _round_up(m1, granularity),
+                   _round_up(canon.n, granularity),
+                   _round_up(k, granularity))
+        elif use_ub_structure:
+            key = ("d",) + size_class(canon.m, canon.n, granularity)
+        else:       # legacy dense-only keying
+            key = size_class(canon.m, canon.n, granularity)
         classes.setdefault(key, []).append((idx, canon))
-        canons.append(canon)
     return classes, aborted
 
 
@@ -77,20 +94,52 @@ def stack_class(entries, mp: int, np_: int, dtype=np.float64):
     return A, b, c
 
 
+def stack_class_structured(entries, M1: int, N: int, K: int,
+                           dtype=np.float64):
+    """Stack a STRUCTURED size class: head A1 (B, M1, N), b (B, M1+K),
+    c (B, N) plus the batched UbTail (idx2, w2 each (B, K); w2 = 0 marks
+    padding tail rows)."""
+    from ..models.registry import _hsd_structured_operands
+    B = len(entries)
+    A1 = np.zeros((B, M1, N), dtype=dtype)
+    b = np.ones((B, M1 + K), dtype=dtype)
+    c = np.zeros((B, N), dtype=dtype)
+    idx2 = np.zeros((B, K), dtype=np.int32)
+    w2 = np.zeros((B, K), dtype=dtype)
+    for j, (_, canon) in enumerate(entries):
+        s = _hsd_structured_operands(canon, M1=M1, K=K, N=N)
+        assert s is not None, "structured class entry lost its structure"
+        A1[j] = s["A1"]
+        b[j] = s["b"]
+        c[j] = s["c"]
+        idx2[j] = s["idx2"]
+        w2[j] = s["w2"]
+    return A1, b, c, UbTail(idx2, w2)
+
+
 def _run_batch(A, b, c, init, *, max_iter, eps, step_factor, beta,
                epsdiag, refine_tol, pause_mu, long_step, max_refine,
-               factor_dtype):
-    def one(Ai, bi, ci, st):
+               factor_dtype, ub=None):
+    def one(Ai, bi, ci, st, ubi):
         return _hsd._hsd_loop(
             Ai, bi, ci, 0.0, st, max_iter=max_iter, eps=eps,
             step_factor=step_factor, beta=beta, epsdiag=epsdiag,
             refine_tol=refine_tol, pause_mu=pause_mu,
             long_step=long_step, max_refine=max_refine,
-            factor_dtype=factor_dtype)
-    return jax.vmap(one)(A, b, c, init)
+            factor_dtype=factor_dtype, ub=ubi)
+    if ub is None:
+        return jax.vmap(lambda Ai, bi, ci, st:
+                        one(Ai, bi, ci, st, None))(A, b, c, init)
+    return jax.vmap(one)(A, b, c, init, ub)
+
+
+def _batch_init(A, ub):
+    extra = 0 if ub is None else ub.idx2.shape[1]
+    return jax.vmap(lambda Ai: _hsd.init_state(Ai, extra_rows=extra))(A)
 
 
 def solve_batch_hsd(A, b, c, *,
+                    ub: UbTail | None = None,
                     max_iter: int = 200,
                     eps: float = 1.0e-12,
                     step_factor: float = 0.95,
@@ -103,36 +152,45 @@ def solve_batch_hsd(A, b, c, *,
                     stage1_mu: float = 1.0e-4):
     """Two-stage vmapped HSD over a stacked class (B, mp, np_).
 
+    ub: batched UbTail (idx2, w2 each (B, K)) — A then holds only head
+    rows and b spans (B, mp + K); the Schur-eliminated structured KKT
+    path runs per lane (stack_class_structured builds these).
+
     Returns (status, x, y, w, z, iterations), each batched over B.
     """
     knobs = dict(max_iter=max_iter, eps=eps, step_factor=step_factor,
                  beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
                  long_step=long_step, max_refine=max_refine)
+
+    def cast_ub(dtype):
+        return None if ub is None else UbTail(ub.idx2, ub.w2.astype(dtype))
+
     if precision == "mixed":
         # the f32 sprint can't hit f64 refinement targets; relax them there
         knobs32 = dict(knobs, epsdiag=max(epsdiag, 1e-8),
                        refine_tol=max(refine_tol, 1e-4))
         A32 = A.astype(jnp.float32)
-        st = jax.vmap(_hsd.init_state)(A32)
+        st = _batch_init(A32, ub)
         st = _run_batch(A32, b.astype(jnp.float32), c.astype(jnp.float32),
-                        st, pause_mu=stage1_mu, factor_dtype=None, **knobs32)
+                        st, pause_mu=stage1_mu, factor_dtype=None,
+                        ub=cast_ub(jnp.float32), **knobs32)
         st = _hsd.cast_state(st, jnp.float64)
         # lanes that went non-finite in f32 restart clean in f64
         finite = jnp.all(jnp.isfinite(st.x), axis=1) & jnp.isfinite(st.phi)
-        fresh = jax.vmap(_hsd.init_state)(A.astype(jnp.float64))
+        fresh = _batch_init(A.astype(jnp.float64), ub)
         st = jax.tree.map(
             lambda warm, cold: jnp.where(
                 finite.reshape((-1,) + (1,) * (warm.ndim - 1)), warm, cold),
             st, fresh)
         factor_dtype = None
     elif precision == "f32factor":
-        st = jax.vmap(_hsd.init_state)(A)
+        st = _batch_init(A, ub)
         factor_dtype = jnp.float32
     else:
-        st = jax.vmap(_hsd.init_state)(A)
+        st = _batch_init(A, ub)
         factor_dtype = None
     out = _run_batch(A, b, c, st, pause_mu=0.0, factor_dtype=factor_dtype,
-                     **knobs)
+                     ub=cast_ub(A.dtype), **knobs)
     return jax.vmap(_hsd.finish_state, in_axes=(0, None))(out, max_iter)
 
 

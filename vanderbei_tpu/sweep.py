@@ -1,0 +1,81 @@
+"""Crash-isolated corpus sweep driver.
+
+The remote TPU worker can die on rare compile/executable faults, poisoning
+the owning process's JAX client and every subsequent solve (the round-2
+evaluate tree lost its whole tail this way: one crash at GREENBEA turned 6
+later problems into 0.1-second "error" rows).  This driver runs the
+evaluate sweep in CHUNKED SUBPROCESSES — a crash costs only its chunk,
+which is then retried one problem per process so only the true offender
+records an error.
+
+    python -m vanderbei_tpu.sweep --method hsd --out evaluate/r3
+
+The child is `vanderbei_tpu.evaluate`, whose incremental README/records
+writer merges each chunk into the results tree (evaluate.py:write_readme).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+
+def run_chunk(names, method, out_dir, time_limit, extra, timeout_s):
+    cmd = [sys.executable, "-m", "vanderbei_tpu.evaluate",
+           "--method", method, "--names", *names]
+    if out_dir:
+        cmd += ["--out", out_dir]
+    if time_limit:
+        cmd += ["--time-limit", str(time_limit)]
+    cmd += extra
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(cmd, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), timeout=timeout_s)
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
+        rc = -9
+    return rc, time.perf_counter() - t0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vanderbei_tpu.sweep")
+    p.add_argument("--method", default="hsd")
+    p.add_argument("--out", default=None)
+    p.add_argument("--names", nargs="*", default=None)
+    p.add_argument("--chunk", type=int, default=8,
+                   help="problems per subprocess")
+    p.add_argument("--time-limit", type=float, default=None)
+    p.add_argument("--timeout", type=float, default=3600.0,
+                   help="hard wall per chunk subprocess")
+    p.add_argument("--max-rows", type=int, default=None)
+    p.add_argument("--max-cols", type=int, default=None)
+    args, extra = p.parse_known_args(argv)
+
+    from .io import netlib
+    names = args.names or netlib.available_problems(
+        max_rows=args.max_rows, max_cols=args.max_cols)
+
+    chunks = [names[i:i + args.chunk]
+              for i in range(0, len(names), args.chunk)]
+    failed = []
+    for ci, chunk in enumerate(chunks):
+        rc, secs = run_chunk(chunk, args.method, args.out,
+                             args.time_limit, extra, args.timeout)
+        print(f"[sweep] chunk {ci + 1}/{len(chunks)} rc={rc} "
+              f"({secs:.0f}s): {' '.join(chunk)}", flush=True)
+        if rc != 0:
+            failed.extend(chunk)
+    # crashed chunks: isolate the offender one problem per process
+    for name in failed:
+        rc, secs = run_chunk([name], args.method, args.out,
+                             args.time_limit, extra, args.timeout)
+        print(f"[sweep] retry {name} rc={rc} ({secs:.0f}s)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
