@@ -5,30 +5,37 @@ Prints ONE JSON line:
      "vs_baseline": R, ...extras}
 
 Honesty rules (this platform memoizes launches by content and acks async):
-- every rep re-solves on FRESH rhs values (1e-9-relative jiggle: objectives
-  move ~1e-9 relative, far inside the 1e-6 check, but the content is new);
-- the timed region is the full practical path — canonicalize, device
-  solve, fetch of the solution vectors to the HOST — so deferred/acked
-  execution cannot fake completion;
+- every rep re-stacks and re-solves on FRESH rhs values (1e-9-relative
+  jiggle: objectives move ~1e-9 relative, far inside the 1e-6 check, but
+  the content is new);
+- the timed region is the full batched production path — stack the padded
+  classes, run the two-stage (f32 sprint -> f64 polish) vmapped HSD on
+  device, and FETCH the solution vectors to the HOST (async acks cannot
+  fake completion: the fetch blocks until the math is done);
 - value = MEDIAN problems/min over N_REP >= 5 reps; all rep times reported;
-- an implied-FLOPs cross-check accompanies the headline: implied TF/s above
-  the chip's f32 peak would mean the measurement is an artifact, so the
-  JSON flags it (flops_sane);
-- compile/warmup is reported separately (persistent cache .jax_cache makes
-  it a one-time cost per machine).
+- an implied-FLOPs cross-check accompanies the headline (implied TF/s
+  above the chip's f32 peak would mean an artifact -> flags flops_sane);
+- compile/warmup is reported separately (persistent cache .jax_cache
+  makes it a one-time cost per machine).
 
-Workload: every netlib instance whose canonical size class is <= 1024
-(both dims), solved one-by-one through the production registry.solve path
-(two-stage precision ladder, size-class padding) to the reference's default
-HSD tolerance (mu < 1e-12, hsd.c:24), objectives cross-checked against the
+Workload: every netlib instance whose canonical power-of-two size class is
+<= 1024 (both dims — the same 36-problem subset as round 2), grouped into
+batched size classes (granularity 512) with the UbTail structured KKT path
+for upper-bounded problems, solved to the reference's default HSD
+tolerance (mu < 1e-12, hsd.c:24); objectives cross-checked against the
 published optima every rep.
 
 vs_baseline: the reference C ipo binary (hsd build, -O2, one CPU core of
 this host) timed end-to-end on the same MPS files.
 
+BASELINE.json north-star metrics reported: ipm_iterations_per_s (total
+lane iterations / median sweep seconds) and kkt_ms_per_chip (median over
+classes of sweep-time / while-loop trip count — each trip is one batched
+KKT factorization + one 2-rhs solve-with-refinement across the class).
+
 Crash resilience: the remote TPU worker can die under compile pressure
 ("kernel fault"), poisoning the process; bench re-execs itself with the
-offending problem excluded (the persistent cache keeps all prior compiles).
+offending CLASS excluded (the persistent cache keeps all prior compiles).
 """
 
 import json
@@ -41,36 +48,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 import vanderbei_tpu  # noqa: E402  (enables x64)
 from vanderbei_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 
-from vanderbei_tpu.core.canonicalize import canonicalize  # noqa: E402
-from vanderbei_tpu.core.config import SolverConfig  # noqa: E402
+from vanderbei_tpu.core.canonicalize import canonicalize, recover_solution  # noqa: E402
 from vanderbei_tpu.core.status import Status  # noqa: E402
 from vanderbei_tpu.io import netlib  # noqa: E402
-from vanderbei_tpu.models.registry import size_class, solve  # noqa: E402
+from vanderbei_tpu.models.registry import size_class  # noqa: E402
+from vanderbei_tpu.parallel import batch as pbatch  # noqa: E402
 
 MAX_CLASS = 1024      # canonical size-class cap for the bench subset
+GRAN = 512            # batched-class granularity (few compiles, good fill)
 N_REP = 5
 F32_PEAK_TFLOPS = 200.0   # v5e-class single-chip ceiling for the sanity check
 
 REF_BUILD = "/tmp/refbuild_bench"
 
-# proven-stable production configuration for the headline run: the
-# two-stage ladder through registry.solve; UbTail off (its big-shape
-# executables can still crash this platform's remote worker — see
-# BENCH notes in the README)
-CFG = SolverConfig(use_ub_structure=False)
+
+def class_tag(key) -> str:
+    return "x".join(str(k) for k in key)
 
 
-def pick_problems(excludes):
-    out = []
+def pick_problems(excluded_classes):
+    """The round-2 comparable subset, grouped into batched classes."""
+    names, lps = [], []
     for name in netlib.available_problems():
-        if name in excludes:
-            continue
         rows = netlib.NETLIB_GOLDEN[name][1]
         cols = netlib.NETLIB_GOLDEN[name][2]
         if rows > 2 * MAX_CLASS or cols > 2 * MAX_CLASS:
@@ -79,9 +85,17 @@ def pick_problems(excludes):
         canon = canonicalize(lp, pad_to=1)
         if canon.status != int(Status.RUNNING):
             continue    # free-variable instances: reference aborts too
-        mc, nc = size_class(canon.m), size_class(canon.n)
-        if mc <= MAX_CLASS and nc <= MAX_CLASS:
-            out.append((name, lp, (mc, nc)))
+        if (size_class(canon.m) <= MAX_CLASS
+                and size_class(canon.n) <= MAX_CLASS):
+            names.append(name)
+            lps.append(lp)
+    classes, _ = pbatch.group_by_class(lps, granularity=GRAN,
+                                       use_ub_structure=True)
+    out = {}
+    for key, entries in classes.items():
+        if class_tag(key) in excluded_classes:
+            continue
+        out[key] = [(names[i], lps[i], canon) for i, canon in entries]
     return out
 
 
@@ -132,58 +146,103 @@ def time_reference(binary, names):
     return total, solved
 
 
+def solve_class(key, entries, jiggle, rng):
+    """Stack one class (with jiggled rhs) and run the batched two-stage
+    solve; returns per-problem records + class timing facts.  The rhs
+    jiggle gives every launch fresh content (see module docstring).
+
+    Lanes the HSD quality gate flags SUBOPTIMAL (phi collapse,
+    models/hsd.py) re-solve through the registry's intpt fallback — the
+    same cross-family fallback the single-problem production path takes —
+    inside the timed region."""
+    from vanderbei_tpu.models.registry import solve as registry_solve
+    structured = key[0] == "s"
+    canons = [canon for _, _, canon in entries]
+    if structured:
+        _, M1, N, K = key
+        A, b, c, ub = pbatch.stack_class_structured(
+            [(None, canon) for canon in canons], M1, N, K)
+        ub = jax.tree.map(jnp.asarray, ub)
+    else:
+        _, M, N = key
+        A, b, c = pbatch.stack_class(
+            [(None, canon) for canon in canons], M, N)
+        ub = None
+    if jiggle:
+        b = b * (1.0 + 1e-9 * jiggle * rng.uniform(0.5, 1.0, b.shape))
+    st, x, y, w, z, iters = pbatch.solve_batch_hsd(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), ub=ub)
+    # REAL completion: fetch everything the practical path consumes
+    st = np.asarray(st)
+    x = np.asarray(x)
+    iters = np.asarray(iters)
+    recs = []
+    for j, (name, lp, canon) in enumerate(entries):
+        n = canon.n
+        sign = 1.0 if canon.maximize else -1.0
+        obj = sign * (float(np.asarray(c[j])[:n] @ x[j][:n]) + canon.f)
+        if int(st[j]) == int(Status.SUBOPTIMAL):
+            sol = registry_solve(lp, method="hsd")
+            recs.append((name, sol.status, sol.primal_obj,
+                         int(iters[j]) + sol.iterations))
+        else:
+            recs.append((name, int(st[j]), obj, int(iters[j])))
+    return recs
+
+
 def main():
     t_script0 = time.perf_counter()
     excludes = set(filter(None, os.environ.get(
         "BENCH_EXCLUDE", "").split(",")))
-    problems = pick_problems(excludes)
-    if not problems:
+    classes = pick_problems(excludes)
+    if not classes:
         print(json.dumps({"metric": "netlib_problems_per_min", "value": 0.0,
                           "unit": "problems/min", "vs_baseline": 0.0,
                           "error": "no problems available"}))
         return
+    n_problems = sum(len(v) for v in classes.values())
 
     rng = np.random.default_rng(12345)
-    current = {"name": None}
+    current = {"key": None}
 
-    def reexec_excluding(name):
+    def reexec_excluding(key):
         tries = int(os.environ.get("BENCH_RETRIES", "0"))
         if tries >= 5:
             print(json.dumps({"metric": "netlib_problems_per_min",
                               "value": 0.0, "unit": "problems/min",
                               "vs_baseline": 0.0,
-                              "error": f"worker kept crashing ({name})"}))
+                              "error": f"worker kept crashing ({key})"}))
             sys.exit(0)
         env = dict(os.environ,
-                   BENCH_EXCLUDE=",".join(sorted(excludes | {name})),
+                   BENCH_EXCLUDE=",".join(sorted(
+                       excludes | {class_tag(key)})),
                    BENCH_RETRIES=str(tries + 1))
-        print(f"[bench] TPU worker crashed on {name}; re-running without it",
-              file=sys.stderr, flush=True)
+        print(f"[bench] TPU worker crashed on class {key}; re-running "
+              "without it", file=sys.stderr, flush=True)
         os.execve(sys.executable, [sys.executable,
                                    os.path.abspath(__file__)], env)
 
     def sweep_once(jiggle):
-        """Solve every problem through the production path; returns
-        records.  The rhs jiggle gives every launch fresh content."""
         recs = []
-        for name, lp, _key in problems:
-            current["name"] = name
-            b0 = lp.b
-            lp.b = b0 * (1.0 + 1e-9 * jiggle *
-                         rng.uniform(0.5, 1.0, b0.shape))
-            try:
-                sol = solve(lp, method="hsd", config=CFG)
-            finally:
-                lp.b = b0
-            recs.append((name, sol.status, sol.primal_obj, sol.iterations))
-        return recs
+        per_class = {}
+        for key, entries in classes.items():
+            current["key"] = key
+            t0 = time.perf_counter()
+            out = solve_class(key, entries, jiggle, rng)
+            per_class[class_tag(key)] = dict(
+                seconds=round(time.perf_counter() - t0, 3),
+                n=len(entries),
+                max_iters=max(r[3] for r in out),
+                sum_iters=sum(r[3] for r in out))
+            recs.extend(out)
+        return recs, per_class
 
     def guarded(fn, *a):
         try:
             return fn(*a)
         except Exception as e:
             if "UNAVAILABLE" in str(e) or "crashed" in str(e):
-                reexec_excluding(current["name"])
+                reexec_excluding(current["key"])
             raise
 
     # warmup/compile: one pass (persistent cache makes re-runs cheap)
@@ -192,26 +251,29 @@ def main():
     compile_s = time.perf_counter() - t0
 
     rep_times = []
-    records = None
+    records = per_class = None
     for r in range(1, N_REP + 1):
         t0 = time.perf_counter()
-        records = guarded(sweep_once, float(r))
+        records, per_class = guarded(sweep_once, float(r))
         rep_times.append(time.perf_counter() - t0)
     elapsed = float(np.median(rep_times))
-    ppm = 60.0 * len(problems) / elapsed
+    ppm = 60.0 * n_problems / elapsed
 
     # correctness + implied-FLOPs accounting on the final rep
     solved = correct = total_iters = 0
     mismatches = []
     flops = 0.0
-    classes = {}
-    for (name, st, obj, iters), (name2, lp, key) in zip(records, problems):
-        mp, np_ = key
+    for key, entries in classes.items():
+        if key[0] == "s":
+            mp, np_ = key[1], key[2]
+        else:
+            mp, np_ = key[1], key[2]
         kdim = min(mp, np_)
+        per_iter = (2.0 * mp * np_ * kdim + kdim ** 3 / 3.0
+                    + 12.0 * kdim ** 2 + 8.0 * mp * np_)
+        flops += per_class[class_tag(key)]["sum_iters"] * per_iter
+    for name, st, obj, iters in records:
         total_iters += iters
-        flops += iters * (2.0 * mp * np_ * kdim + kdim ** 3 / 3.0
-                          + 12.0 * kdim ** 2 + 8.0 * mp * np_)
-        classes[f"{mp}x{np_}"] = classes.get(f"{mp}x{np_}", 0) + 1
         if st == int(Status.OPTIMAL):
             solved += 1
             golden = netlib.golden_objective(name)
@@ -224,14 +286,21 @@ def main():
     implied_tflops = flops / elapsed / 1e12
     flops_sane = implied_tflops < F32_PEAK_TFLOPS
 
+    # BASELINE.json north-star metrics
+    iters_per_s = total_iters / elapsed
+    kkt_ms = float(np.median([
+        1e3 * pc["seconds"] / max(pc["max_iters"], 1)
+        for pc in per_class.values()]))
+
     # baseline: reference C single-core on the same set
     vs_baseline = 0.0
     base_ppm = None
     binary = build_reference()
     if binary:
-        ref_total, ref_count = time_reference(
-            binary, [name for name, _, _ in problems])
-        if ref_total > 0 and ref_count == len(problems):
+        all_names = [name for _, entries in classes.items()
+                     for name, _ in entries]
+        ref_total, ref_count = time_reference(binary, all_names)
+        if ref_total > 0 and ref_count == n_problems:
             base_ppm = 60.0 * ref_count / ref_total
     if base_ppm:
         vs_baseline = ppm / base_ppm
@@ -241,19 +310,22 @@ def main():
         "value": round(ppm, 3),
         "unit": "problems/min",
         "vs_baseline": round(vs_baseline, 3),
-        "n_problems": len(problems),
+        "n_problems": n_problems,
         "optimal": solved,
         "objective_match_1e6": correct,
         "mismatches": mismatches,
         "elapsed_s_median": round(elapsed, 3),
         "rep_times_s": [round(t, 3) for t in rep_times],
         "total_ipm_iterations": total_iters,
+        "ipm_iterations_per_s": round(iters_per_s, 1),
+        "kkt_ms_per_chip": round(kkt_ms, 2),
         "implied_tflops": round(implied_tflops, 2),
         "flops_sane": flops_sane,
         "compile_warmup_s": round(compile_s, 2),
         "script_wall_s": round(time.perf_counter() - t_script0, 1),
         "baseline_problems_per_min": round(base_ppm, 3) if base_ppm else None,
-        "classes": classes,
+        "classes": {class_tag(k): len(v) for k, v in classes.items()},
+        "per_class_final_rep": per_class,
         "excluded": sorted(excludes),
         "backend": jax.default_backend(),
     }))

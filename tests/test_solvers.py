@@ -233,3 +233,17 @@ def test_twophase_bandm_mid_scale():
     assert sol.status == int(Status.OPTIMAL)
     assert abs(sol.primal_obj - golden) / abs(golden) < 1e-6
     assert 600 < sol.iterations < 5000
+
+
+def test_forplan_quality_gate_and_fallback():
+    """FORPLAN's HSD trajectory collapses phi (mu < 1e-12 while the
+    de-homogenized point still has a ~5e-4 relative duality gap — the
+    reference hits its iteration limit here).  The quality gate must
+    refuse the OPTIMAL certificate and the registry must fall back to the
+    path-following solver, which solves it to the true file optimum."""
+    from vanderbei_tpu.core.config import SolverConfig
+    lp = netlib.load("FORPLAN")
+    sol = vt.solve(lp, method="hsd", config=SolverConfig(free_vars="split"))
+    golden = netlib.golden_objective("FORPLAN")
+    assert sol.status == int(Status.OPTIMAL)
+    assert abs(sol.primal_obj - golden) / abs(golden) < 1e-6

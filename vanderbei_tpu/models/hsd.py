@@ -118,6 +118,7 @@ def make_step(A, b, c, *,
               beta=0.80,
               epsdiag=1.0e-14,
               refine_tol=1.0e-10,
+              gap_tol=1.0e-6,
               long_step: bool = False,
               max_refine: int = 8,
               trace: bool = False,
@@ -173,15 +174,29 @@ def make_step(A, b, c, *,
         primal_obj = dot(c, x)
         dual_obj = dot(b, y)
 
-        # stopping rule (hsd.c:155-176 / hsdls.c:134-154)
+        # stopping rule (hsd.c:155-176 / hsdls.c:134-154) with an extra
+        # QUALITY GATE the reference lacks: on hard instances (FORPLAN)
+        # the homogenizing phi can collapse toward 0 faster than the
+        # residuals, so mu < eps is met while the DE-HOMOGENIZED point
+        # still carries an O(1e-4) duality gap — the reference would
+        # report that point "optimal" too if its trajectory got there
+        # (it happens to hit its iteration limit instead).  Gate the
+        # OPTIMAL certificate on the de-homogenized relative gap; a
+        # converged-but-poor point reports SUBOPTIMAL (status 7,
+        # hsdls.c:151's meaning) and the registry can fall back to the
+        # path-following solver.
         converged = mu < eps
         if long_step:
             opt_test = phi > eps
         else:
             opt_test = phi > psi
+        gap_rel = ((dual_obj - primal_obj) / phi
+                   / (1.0 + jnp.abs(primal_obj) / phi))
+        good = gap_rel <= gap_tol
         fallback = int(Status.SUBOPTIMAL) if long_step else int(Status.DUAL_INFEASIBLE)
         final = jnp.where(
-            opt_test, int(Status.OPTIMAL),
+            opt_test,
+            jnp.where(good, int(Status.OPTIMAL), int(Status.SUBOPTIMAL)),
             jnp.where(dual_obj < 0.0, int(Status.PRIMAL_INFEASIBLE),
                       jnp.where(primal_obj > 0.0, int(Status.DUAL_INFEASIBLE),
                                 fallback)))
@@ -270,6 +285,7 @@ def make_step(A, b, c, *,
 def _hsd_loop(A, b, c, f, init: HsdState, *,
               max_iter, eps, step_factor, beta, epsdiag, refine_tol,
               pause_mu,
+              gap_tol=1.0e-6,
               long_step: bool = False,
               max_refine: int = 8,
               trace: bool = False,
@@ -289,10 +305,12 @@ def _hsd_loop(A, b, c, f, init: HsdState, *,
     epsdiag = jnp.asarray(epsdiag, dtype)
     refine_tol = jnp.asarray(refine_tol, dtype)
     pause_mu = jnp.asarray(pause_mu, dtype)
+    gap_tol = jnp.asarray(gap_tol, dtype)
     f = jnp.asarray(f, dtype)
 
     body = make_step(A, b, c, eps=eps, step_factor=step_factor,
                      beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
+                     gap_tol=gap_tol,
                      long_step=long_step, max_refine=max_refine,
                      trace=trace, f=f, factor_dtype=factor_dtype,
                      compensated=compensated, ub=ub)
@@ -331,7 +349,8 @@ def _hsd_scan_metrics(A, b, c, f, init: HsdState, *,
                       long_step: bool = False,
                       max_refine: int = 8,
                       factor_dtype=None,
-                      compensated: bool = False):
+                      compensated: bool = False,
+                      ub: UbTail | None = None):
     """Observability variant: a fixed-length lax.scan that records one
     structured metrics row PER ITERATION on device and returns the whole
     table to the host — the TPU-native replacement for the reference's
@@ -351,17 +370,24 @@ def _hsd_scan_metrics(A, b, c, f, init: HsdState, *,
     refine_tol = jnp.asarray(refine_tol, dtype)
     f = jnp.asarray(f, dtype)
 
+    if ub is not None:
+        m = m + ub.idx2.shape[0]
     body = make_step(A, b, c, eps=eps, step_factor=step_factor,
                      beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
                      long_step=long_step, max_refine=max_refine,
                      trace=False, f=f, factor_dtype=factor_dtype,
-                     compensated=compensated)
+                     compensated=compensated, ub=ub)
 
     def scan_body(s: HsdState, _):
         running = s.status == int(Status.RUNNING)
         mu = (s.z @ s.x + s.w @ s.y + s.phi * s.psi) / (n + m + 1)
-        rho = A @ s.x - b * s.phi + s.w
-        sigma = -(A.T @ s.y) + c * s.phi + s.z
+        if ub is None:
+            ax, aty = A @ s.x, A.T @ s.y
+        else:
+            ax = tail_matvec(A, ub, s.x)
+            aty = tail_rmatvec(A, ub, s.y)
+        rho = ax - b * s.phi + s.w
+        sigma = -aty + c * s.phi + s.z
         row = dict(
             mu=mu,
             primal_obj=(c @ s.x) / s.phi + f,
@@ -388,6 +414,7 @@ def solve_canon_metrics(A, b, c, f, *,
                         max_refine: int = 8,
                         factor_dtype=None,
                         compensated: bool = False,
+                        ub: UbTail | None = None,
                         init: HsdState | None = None):
     """solve_canon + the per-iteration metrics table (see _hsd_scan_metrics).
 
@@ -398,12 +425,12 @@ def solve_canon_metrics(A, b, c, f, *,
         factor_dtype = {"f32": jnp.float32, "f64": None,
                         "none": None}[factor_dtype]
     if init is None:
-        init = init_state(A)
+        init = init_state(A, extra_rows=0 if ub is None else ub.idx2.shape[0])
     out, rows = _hsd_scan_metrics(
         A, b, c, f, init, max_iter=max_iter, eps=eps,
         step_factor=step_factor, beta=beta, epsdiag=epsdiag,
         refine_tol=refine_tol, long_step=long_step, max_refine=max_refine,
-        factor_dtype=factor_dtype, compensated=compensated)
+        factor_dtype=factor_dtype, compensated=compensated, ub=ub)
     status, x, y, w, z, iters = finish_state(out, max_iter)
     return (status, x, y, w, z, iters, out), rows
 
@@ -416,6 +443,7 @@ def solve_canon(A, b, c, f, *,
                 beta: float = 0.80,
                 epsdiag: float = 1.0e-14,
                 refine_tol: float = 1.0e-10,
+                gap_tol: float = 1.0e-6,
                 max_refine: int = 8,
                 trace: bool = False,
                 factor_dtype=None,
@@ -444,6 +472,7 @@ def solve_canon(A, b, c, f, *,
     out = _hsd_loop(A, b, c, f, init,
                     max_iter=max_iter, eps=eps, step_factor=step_factor,
                     beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
+                    gap_tol=gap_tol,
                     pause_mu=pause_mu, long_step=long_step,
                     max_refine=max_refine, trace=trace,
                     factor_dtype=factor_dtype, compensated=compensated,

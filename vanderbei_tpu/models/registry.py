@@ -41,11 +41,12 @@ from . import simplex as _simplex
 
 def size_class(dim: int, floor: int = 256) -> int:
     """Padded size class for dim: powers of two up to 2048 (few compiled
-    programs for the corpus's many small problems), then multiples of 2048
-    (compile time amortizes over single big problems; 2x padding waste at
-    17k rows would not)."""
+    programs for the corpus's many small problems), then multiples of 512
+    (big problems are one-per-class anyway, so coarser rounding would buy
+    no compile sharing — only padding waste: 2263 rows padded to 4096
+    would cost 1.8x the factor FLOPs; to 2560 it costs 1.13x)."""
     if dim > 2048:
-        return ((dim + 2047) // 2048) * 2048
+        return ((dim + 511) // 512) * 512
     c = floor
     while c < dim:
         c *= 2
@@ -308,7 +309,7 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False,
         return _hsd.solve_canon(
             A, b, c, canon.f, max_iter=total, eps=cfg.hsd_eps,
             step_factor=cfg.hsd_step_factor, long_step=long_step,
-            beta=cfg.beta,
+            beta=cfg.beta, gap_tol=cfg.epssol,
             epsdiag=max(cfg.epsdiag, 1e-8) if sprint else cfg.epsdiag,
             refine_tol=max(cfg.refine_tol, 1e-4) if sprint else cfg.refine_tol,
             max_refine=cfg.max_refine, trace=trace,
@@ -406,6 +407,21 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
             f"not {method!r}")
     kw = {"mesh": mesh} if mesh is not None else {}
     status, x, y, w, z, iters = get_solver(method)(canon, cfg, **kw)
+    if (method in ("hsd", "hsdls") and mesh is None
+            and int(np.asarray(status)) == int(Status.SUBOPTIMAL)):
+        # the HSD quality gate (models/hsd.py) flagged a converged-but-
+        # poor point (phi collapse); cross-check with the second algorithm
+        # family — the path-following solver stops on RESIDUALS, so its
+        # optimum is trustworthy where HSD's embedding degenerated
+        # (FORPLAN-class instances).  Mirrors the reference's de-facto
+        # simplex-vs-IPM cross-validation (SURVEY.md section 4).
+        if cfg.verbose:
+            print("hsd suboptimal (phi collapse): falling back to intpt",
+                  flush=True)
+        st2, x2, y2, w2, z2, it2 = _solve_intpt(canon, cfg)
+        if int(np.asarray(st2)) == int(Status.OPTIMAL):
+            status, x, y, w, z = st2, x2, y2, w2, z2
+            iters = int(np.asarray(iters)) + int(np.asarray(it2))
     if int(np.asarray(status)) == int(Status.RUNNING):
         # a TIMLIM deadline stop exits the chunked loop mid-budget with the
         # internal RUNNING sentinel; report it as the reference's nearest

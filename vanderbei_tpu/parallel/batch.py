@@ -119,12 +119,12 @@ def stack_class_structured(entries, M1: int, N: int, K: int,
 
 def _run_batch(A, b, c, init, *, max_iter, eps, step_factor, beta,
                epsdiag, refine_tol, pause_mu, long_step, max_refine,
-               factor_dtype, ub=None):
+               factor_dtype, ub=None, gap_tol=1.0e-6):
     def one(Ai, bi, ci, st, ubi):
         return _hsd._hsd_loop(
             Ai, bi, ci, 0.0, st, max_iter=max_iter, eps=eps,
             step_factor=step_factor, beta=beta, epsdiag=epsdiag,
-            refine_tol=refine_tol, pause_mu=pause_mu,
+            refine_tol=refine_tol, pause_mu=pause_mu, gap_tol=gap_tol,
             long_step=long_step, max_refine=max_refine,
             factor_dtype=factor_dtype, ub=ubi)
     if ub is None:
@@ -138,6 +138,9 @@ def _batch_init(A, ub):
     return jax.vmap(lambda Ai: _hsd.init_state(Ai, extra_rows=extra))(A)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "long_step", "max_refine", "precision"))
 def solve_batch_hsd(A, b, c, *,
                     ub: UbTail | None = None,
                     max_iter: int = 200,
@@ -157,6 +160,13 @@ def solve_batch_hsd(A, b, c, *,
     path runs per lane (stack_class_structured builds these).
 
     Returns (status, x, y, w, z, iterations), each batched over B.
+
+    The WHOLE two-stage ladder (f32 sprint, cast, f32-divergence lane
+    restart, f64 polish, finish) is one jitted program: on this platform
+    every distinct eager op is its own XLA executable with a multi-minute
+    remote compile, so inter-stage glue left eager turns one batched solve
+    into ~20 compiles — the round-2 'batched path hangs the worker'
+    failure was exactly that compile storm.
     """
     knobs = dict(max_iter=max_iter, eps=eps, step_factor=step_factor,
                  beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
@@ -167,8 +177,9 @@ def solve_batch_hsd(A, b, c, *,
 
     if precision == "mixed":
         # the f32 sprint can't hit f64 refinement targets; relax them there
-        knobs32 = dict(knobs, epsdiag=max(epsdiag, 1e-8),
-                       refine_tol=max(refine_tol, 1e-4))
+        # (jnp.maximum: the knobs are traced scalars under the outer jit)
+        knobs32 = dict(knobs, epsdiag=jnp.maximum(epsdiag, 1e-8),
+                       refine_tol=jnp.maximum(refine_tol, 1e-4))
         A32 = A.astype(jnp.float32)
         st = _batch_init(A32, ub)
         st = _run_batch(A32, b.astype(jnp.float32), c.astype(jnp.float32),
