@@ -42,11 +42,26 @@ paths are static.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve
+
+from .blocked import BlockedFactor, blocked_cholesky, blocked_cho_solve
+
+
+def _use_blocked(dtype) -> bool:
+    """f64 Cholesky/trsm are scalar-emulated on TPU (~1000x slower than
+    f32); route f64 factors through the gemm-built blocked kernels there.
+    VANDERBEI_BLOCKED=1/0 forces the choice (tests exercise both)."""
+    if jnp.dtype(dtype) != jnp.float64:
+        return False
+    env = os.environ.get("VANDERBEI_BLOCKED", "auto")
+    if env in ("1", "0"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 def use_primal_form(m: int, n: int, has_q: bool) -> bool:
@@ -95,6 +110,7 @@ class KKTFactor(NamedTuple):
     L: jax.Array
     s: jax.Array
     g2: jax.Array = None
+    Winv: jax.Array = None   # diag-block inverses when L is a blocked Loff
 
 
 def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
@@ -168,6 +184,30 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
     if factor_dtype is not None:
         Ms = Ms.astype(factor_dtype)
     eye = jnp.eye(M.shape[0], dtype=Ms.dtype)
+    floor = 1.0e-14 if Ms.dtype == jnp.float64 else 1.0e-7
+
+    if _use_blocked(Ms.dtype):
+        # gemm-built blocked factor (see ops/blocked.py): same NaN
+        # propagation on indefinite input, same Tikhonov escalation
+        L0 = blocked_cholesky(Ms)
+
+        def bad_b(f):
+            return jnp.any(jnp.isnan(f.Loff)) | jnp.any(jnp.isnan(f.Winv))
+
+        def cond_b(carry):
+            reg, f = carry
+            return bad_b(f) & (reg < 1.0e-2)
+
+        def body_b(carry):
+            reg, _ = carry
+            new_reg = jnp.where(reg == 0.0, floor,
+                                reg * 100.0).astype(Ms.dtype)
+            return new_reg, blocked_cholesky(Ms + new_reg * eye)
+
+        _, fb = jax.lax.while_loop(cond_b, body_b,
+                                   (jnp.zeros((), Ms.dtype), L0))
+        return KKTFactor(fb.Loff, s, g2, fb.Winv)
+
     L0 = jnp.linalg.cholesky(Ms)
 
     def bad(L):
@@ -179,7 +219,6 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
 
     def body(carry):
         reg, L = carry
-        floor = 1.0e-14 if Ms.dtype == jnp.float64 else 1.0e-7
         new_reg = jnp.where(reg == 0.0, floor, reg * 100.0).astype(Ms.dtype)
         return new_reg, jnp.linalg.cholesky(Ms + new_reg * eye)
 
@@ -194,7 +233,10 @@ def _scaled_cho_solve(fac: KKTFactor, t):
     blocked triangular-solve chain), the reason the HSD step folds its f-
     and g-systems into a single call."""
     st = (fac.s[:, None] * t).astype(fac.L.dtype)
-    u = cho_solve((fac.L, True), st)
+    if fac.Winv is not None:
+        u = blocked_cho_solve(BlockedFactor(fac.L, fac.Winv), st)
+    else:
+        u = cho_solve((fac.L, True), st)
     return fac.s[:, None] * u.astype(fac.s.dtype)
 
 
