@@ -31,6 +31,10 @@ class SolverConfig:
     step_factor: float = 0.9        # intpt step damping r (intpt.c:111)
     hsd_step_factor: float = 0.95   # hsd.c:259
     beta: float = 0.80              # hsdls neighborhood (hsdls.c:112)
+    # "mehrotra": one factorization drives predictor + second-order
+    # corrector with adaptive centering (roughly halves trips);
+    # "reference": the hsd.c:138-142 alternating delta=0/1 scheme
+    hsd_corrector: str = "mehrotra"
 
     # KKT / linear-algebra knobs (ldlt.c:27-32)
     epssol: float = 1.0e-6

@@ -212,6 +212,15 @@ def _ref_agrees(rec: dict, ref_text: str | None) -> str:
 def write_readme(out_dir: str, method: str, records: list) -> None:
     d = os.path.join(out_dir, "netlib", method)
     os.makedirs(d, exist_ok=True)
+    # concurrent sweep chunks (sweep.py --parallel) merge into one
+    # records.json; serialize the read-modify-write under a file lock
+    import fcntl
+    with open(os.path.join(d, ".lock"), "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        _write_readme_locked(d, method, records)
+
+
+def _write_readme_locked(d: str, method: str, records: list) -> None:
     # merge with any previously recorded sweep (partial re-runs update
     # their rows in place rather than clobbering the tree)
     prev_path = os.path.join(d, "records.json")

@@ -315,7 +315,7 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False,
             max_refine=cfg.max_refine, trace=trace,
             factor_dtype=factor_dtype, pause_mu=pause,
             compensated=(cfg.precision == "dd" and not sprint),
-            ub=ub, init=init)[-1]
+            corrector=cfg.hsd_corrector, ub=ub, init=init)[-1]
 
     def init_for(args):
         ub = args[3]

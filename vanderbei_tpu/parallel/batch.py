@@ -119,14 +119,15 @@ def stack_class_structured(entries, M1: int, N: int, K: int,
 
 def _run_batch(A, b, c, init, *, max_iter, eps, step_factor, beta,
                epsdiag, refine_tol, pause_mu, long_step, max_refine,
-               factor_dtype, ub=None, gap_tol=1.0e-6):
+               factor_dtype, ub=None, gap_tol=1.0e-6,
+               corrector="mehrotra"):
     def one(Ai, bi, ci, st, ubi):
         return _hsd._hsd_loop(
             Ai, bi, ci, 0.0, st, max_iter=max_iter, eps=eps,
             step_factor=step_factor, beta=beta, epsdiag=epsdiag,
             refine_tol=refine_tol, pause_mu=pause_mu, gap_tol=gap_tol,
             long_step=long_step, max_refine=max_refine,
-            factor_dtype=factor_dtype, ub=ubi)
+            factor_dtype=factor_dtype, corrector=corrector, ub=ubi)
     if ub is None:
         return jax.vmap(lambda Ai, bi, ci, st:
                         one(Ai, bi, ci, st, None))(A, b, c, init)
@@ -140,7 +141,8 @@ def _batch_init(A, ub):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "long_step", "max_refine", "precision"))
+    static_argnames=("max_iter", "long_step", "max_refine", "precision",
+                     "corrector"))
 def solve_batch_hsd(A, b, c, *,
                     ub: UbTail | None = None,
                     max_iter: int = 200,
@@ -152,6 +154,7 @@ def solve_batch_hsd(A, b, c, *,
                     refine_tol: float = 1.0e-10,
                     max_refine: int = 4,
                     precision: str = "mixed",
+                    corrector: str = "mehrotra",
                     stage1_mu: float = 1.0e-4):
     """Two-stage vmapped HSD over a stacked class (B, mp, np_).
 
@@ -170,7 +173,8 @@ def solve_batch_hsd(A, b, c, *,
     """
     knobs = dict(max_iter=max_iter, eps=eps, step_factor=step_factor,
                  beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
-                 long_step=long_step, max_refine=max_refine)
+                 long_step=long_step, max_refine=max_refine,
+                 corrector=corrector)
 
     def cast_ub(dtype):
         return None if ub is None else UbTail(ub.idx2, ub.w2.astype(dtype))

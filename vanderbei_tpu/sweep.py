@@ -53,6 +53,10 @@ def main(argv=None) -> int:
                    help="hard wall per chunk subprocess")
     p.add_argument("--max-rows", type=int, default=None)
     p.add_argument("--max-cols", type=int, default=None)
+    p.add_argument("--parallel", type=int, default=1,
+                   help="concurrent chunk subprocesses: the remote XLA "
+                   "compile service overlaps compiles across processes "
+                   "(device execution still serializes on the one chip)")
     args, extra = p.parse_known_args(argv)
 
     from .io import netlib
@@ -62,13 +66,26 @@ def main(argv=None) -> int:
     chunks = [names[i:i + args.chunk]
               for i in range(0, len(names), args.chunk)]
     failed = []
-    for ci, chunk in enumerate(chunks):
-        rc, secs = run_chunk(chunk, args.method, args.out,
-                             args.time_limit, extra, args.timeout)
-        print(f"[sweep] chunk {ci + 1}/{len(chunks)} rc={rc} "
-              f"({secs:.0f}s): {' '.join(chunk)}", flush=True)
-        if rc != 0:
-            failed.extend(chunk)
+    if args.parallel > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=args.parallel) as ex:
+            futs = {ex.submit(run_chunk, chunk, args.method, args.out,
+                              args.time_limit, extra, args.timeout): chunk
+                    for chunk in chunks}
+            for fut, chunk in futs.items():
+                rc, secs = fut.result()
+                print(f"[sweep] chunk rc={rc} ({secs:.0f}s): "
+                      f"{' '.join(chunk)}", flush=True)
+                if rc != 0:
+                    failed.extend(chunk)
+    else:
+        for ci, chunk in enumerate(chunks):
+            rc, secs = run_chunk(chunk, args.method, args.out,
+                                 args.time_limit, extra, args.timeout)
+            print(f"[sweep] chunk {ci + 1}/{len(chunks)} rc={rc} "
+                  f"({secs:.0f}s): {' '.join(chunk)}", flush=True)
+            if rc != 0:
+                failed.extend(chunk)
     # crashed chunks: isolate the offender one problem per process
     for name in failed:
         rc, secs = run_chunk([name], args.method, args.out,
