@@ -90,7 +90,8 @@ def pick_problems(excluded_classes):
             names.append(name)
             lps.append(lp)
     classes, _ = pbatch.group_by_class(lps, granularity=GRAN,
-                                       use_ub_structure=True)
+                                       use_ub_structure=True,
+                                       scale="geometric")
     out = {}
     for key, entries in classes.items():
         if class_tag(key) in excluded_classes:
@@ -169,7 +170,13 @@ def solve_class(key, entries, jiggle, rng):
             [(None, canon) for canon in canons], M, N)
         ub = None
     if jiggle:
-        b = b * (1.0 + 1e-9 * jiggle * rng.uniform(0.5, 1.0, b.shape))
+        # PER-LANE scalar jiggle: canonical equality rows are opposing
+        # inequality PAIRS, so independent per-row noise would make the
+        # pair inconsistent (an artificially near-infeasible problem);
+        # one scalar per lane scales each LP's whole rhs — fresh launch
+        # content, same feasible geometry
+        b = b * (1.0 + 1e-9 * jiggle
+                 * rng.uniform(0.5, 1.0, (b.shape[0], 1)))
     st, x, y, w, z, iters = pbatch.solve_batch_hsd(
         jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), ub=ub)
     # REAL completion: fetch everything the practical path consumes
@@ -180,7 +187,8 @@ def solve_class(key, entries, jiggle, rng):
     for j, (name, lp, canon) in enumerate(entries):
         n = canon.n
         sign = 1.0 if canon.maximize else -1.0
-        obj = sign * (float(np.asarray(c[j])[:n] @ x[j][:n]) + canon.f)
+        obj = sign * (canon.obj_scale
+                      * float(np.asarray(c[j])[:n] @ x[j][:n]) + canon.f)
         if int(st[j]) == int(Status.SUBOPTIMAL):
             sol = registry_solve(lp, method="hsd")
             recs.append((name, sol.status, sol.primal_obj,

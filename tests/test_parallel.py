@@ -139,8 +139,8 @@ def test_full_mesh_solve_equals_single_device():
     assert (st_s == int(Status.OPTIMAL)).all()
     np.testing.assert_array_equal(st_s, st_m)
     for k, (idx, canon) in enumerate(entries):
-        obj_s = float(c[k] @ x_s[k]) + canon.f
-        obj_m = float(c[k] @ x_m[k]) + canon.f
+        obj_s = canon.obj_scale * float(c[k] @ x_s[k]) + canon.f
+        obj_m = canon.obj_scale * float(c[k] @ x_m[k]) + canon.f
         assert abs(obj_m - obj_s) <= 1e-10 * max(1.0, abs(obj_s)), names[idx]
         golden = netlib.golden_objective(names[idx])
         sign = 1.0 if canon.maximize else -1.0
@@ -170,7 +170,7 @@ def test_batched_hsd_structured_ub_tail():
         st = np.asarray(st)
         assert (st == int(Status.OPTIMAL)).all(), (key, st)
         for j, (idx, canon) in enumerate(entries):
-            obj_canon = float(np.asarray(c[j]) @ np.asarray(x[j])) + canon.f
+            obj_canon = canon.obj_scale * float(np.asarray(c[j]) @ np.asarray(x[j])) + canon.f
             sign = 1.0 if canon.maximize else -1.0
             solved[names[idx]] = sign * obj_canon
     for name in solved:

@@ -68,6 +68,21 @@ class CanonLP:
     # c' = col_scale*c; recover_solution unscales.  None = unscaled.
     row_scale: np.ndarray = None
     col_scale: np.ndarray = None
+    # rhs/objective normalization (scale="geometric"): after equilibration
+    # the solver additionally sees b/b_scale and c/c_scale (power-of-two
+    # scalars ~ their inf-norms).  The HSD embedding initializes every
+    # variable at 1 (hsd.c:98-109); with ||b|| ~ 1e8 (AGG-class) that
+    # mismatch makes phi collapse ahead of feasibility and a 1e-9 rhs
+    # perturbation can leave the returned point 1e-5 off (measured on
+    # jiggled AGG2: st7/8.6e-6 raw vs st0/1.2e-9 normalized).  Pure
+    # reparametrization: x = b_scale*x~, y = c_scale*y~, undone on recovery.
+    b_scale: float = 1.0
+    c_scale: float = 1.0
+
+    @property
+    def obj_scale(self) -> float:
+        """Canonical objective c~'x~ times this = unnormalized c'x."""
+        return self.b_scale * self.c_scale
 
     @property
     def mp(self) -> int:
@@ -228,6 +243,23 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
         if Qc is not None:
             Qc *= col_scale[:, None] * col_scale[None, :]
 
+    b_scale = c_scale = 1.0
+    if scale == "geometric":
+        # normalize ||b||,||c|| to ~1 (power-of-two scalars: exact):
+        # x = b_scale*x~ makes the all-ones HSD start well-centered
+        bmax = float(np.abs(bc[:m_canon]).max()) if m_canon else 0.0
+        cmax = float(np.abs(cc[:n_ext]).max()) if n_ext else 0.0
+        if bmax > 0:
+            b_scale = float(np.exp2(np.round(np.log2(bmax))))
+            bc[:m_canon] /= b_scale
+        if cmax > 0:
+            c_scale = float(np.exp2(np.round(np.log2(cmax))))
+            cc[:n_ext] /= c_scale
+        if Qc is not None and (b_scale != 1.0 or c_scale != 1.0):
+            # objective term x'Qx/2 = b_scale*c_scale * x~'Q~x~/2 needs
+            # Q~ = Q * b_scale/c_scale
+            Qc *= b_scale / c_scale
+
     return CanonLP(
         A=Ac, b=bc, c=cc, f=f, m=m_canon, n=n_ext, m0=m,
         maximize=lp.maximize, l=l,
@@ -236,6 +268,7 @@ def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
         status=int(Status.RUNNING), n_orig=n,
         free_cols=free_cols.astype(np.int64), Q=Qc,
         row_scale=row_scale, col_scale=col_scale,
+        b_scale=b_scale, c_scale=c_scale,
     )
 
 
@@ -294,11 +327,20 @@ def recover_solution(canon: CanonLP, x, y, w, z):
     quad = 0.0
     if canon.Q is not None:
         quad = 0.5 * float(x_canon @ canon.Q[:n, :n] @ x_canon)
-    # objectives are scale-invariant: c'_scaled @ x_scaled == c @ x exactly
-    primal_obj = sign * (float(canon.c[:n] @ x_canon) - quad + canon.f)
+    # row/col equilibration leaves c'x invariant; the b/c normalization
+    # scales the canonical objective by obj_scale = b_scale*c_scale
+    primal_obj = sign * (canon.obj_scale
+                         * (float(canon.c[:n] @ x_canon) - quad) + canon.f)
     # QP (Dorn) dual objective: b'y - x'Qx/2
-    dual_obj = sign * (float(canon.b[:m] @ y) - quad + canon.f)
-    b_unscaled = np.asarray(canon.b[:m], dtype=np.float64)
+    dual_obj = sign * (canon.obj_scale
+                       * (float(canon.b[:m] @ y) - quad) + canon.f)
+    b_unscaled = np.asarray(canon.b[:m], dtype=np.float64) * canon.b_scale
+    # undo the b/c normalization: x = b_scale x~, w = b_scale w~,
+    # y = c_scale y~, z = c_scale z~
+    x_canon = canon.b_scale * x_canon
+    w = canon.b_scale * w
+    y = canon.c_scale * y
+    z = canon.c_scale * z
     if canon.row_scale is not None:
         # undo the equilibration: x = S x', y = R y', w = w'/R, z = z'/S
         r = canon.row_scale[:m]

@@ -120,14 +120,15 @@ def stack_class_structured(entries, M1: int, N: int, K: int,
 def _run_batch(A, b, c, init, *, max_iter, eps, step_factor, beta,
                epsdiag, refine_tol, pause_mu, long_step, max_refine,
                factor_dtype, ub=None, gap_tol=1.0e-6,
-               corrector="mehrotra"):
+               corrector="mehrotra", compensated=False):
     def one(Ai, bi, ci, st, ubi):
         return _hsd._hsd_loop(
             Ai, bi, ci, 0.0, st, max_iter=max_iter, eps=eps,
             step_factor=step_factor, beta=beta, epsdiag=epsdiag,
             refine_tol=refine_tol, pause_mu=pause_mu, gap_tol=gap_tol,
             long_step=long_step, max_refine=max_refine,
-            factor_dtype=factor_dtype, corrector=corrector, ub=ubi)
+            factor_dtype=factor_dtype, corrector=corrector,
+            compensated=compensated, ub=ubi)
     if ub is None:
         return jax.vmap(lambda Ai, bi, ci, st:
                         one(Ai, bi, ci, st, None))(A, b, c, init)
@@ -142,7 +143,7 @@ def _batch_init(A, ub):
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "long_step", "max_refine", "precision",
-                     "corrector"))
+                     "corrector", "compensated"))
 def solve_batch_hsd(A, b, c, *,
                     ub: UbTail | None = None,
                     max_iter: int = 200,
@@ -155,6 +156,7 @@ def solve_batch_hsd(A, b, c, *,
                     max_refine: int = 4,
                     precision: str = "mixed",
                     corrector: str = "mehrotra",
+                    compensated: bool = False,
                     stage1_mu: float = 1.0e-4):
     """Two-stage vmapped HSD over a stacked class (B, mp, np_).
 
@@ -205,7 +207,7 @@ def solve_batch_hsd(A, b, c, *,
         st = _batch_init(A, ub)
         factor_dtype = None
     out = _run_batch(A, b, c, st, pause_mu=0.0, factor_dtype=factor_dtype,
-                     ub=cast_ub(A.dtype), **knobs)
+                     ub=cast_ub(A.dtype), compensated=compensated, **knobs)
     return jax.vmap(_hsd.finish_state, in_axes=(0, None))(out, max_iter)
 
 
