@@ -97,3 +97,30 @@ def test_recover_roundtrip_min():
     np.testing.assert_allclose(x, [2.0, 0.0])
     # min problem: duals negated back
     np.testing.assert_allclose(y, [-1.0])
+
+
+def test_bc_normalization_roundtrip():
+    """scale='geometric' normalizes ||b||,||c|| to ~1 by power-of-two
+    scalars; recover_solution must undo it exactly (x, duals, objectives,
+    b_canon all in original units)."""
+    import numpy as np
+    from vanderbei_tpu.core.builder import LPBuilder
+    from vanderbei_tpu.core.canonicalize import canonicalize, recover_solution
+    from vanderbei_tpu.models.registry import solve
+
+    b = LPBuilder("normtest", maximize=False)
+    b.var("x1", obj=3.0e3)
+    b.var("x2", obj=2.0e3, upper=4.0e7)
+    b.constraint("r1", {"x1": 1.0, "x2": 1.0}, lo=1.0e8, hi=1.0e8)
+    b.constraint("r2", {"x1": 2.0, "x2": 1.0}, hi=1.7e8)
+    lp = b.build()
+    canon = canonicalize(lp, pad_to=1, scale="geometric")
+    assert canon.b_scale > 1.0 and abs(np.abs(canon.b[:canon.m]).max() - 1.0) < 1.0
+    sol = solve(lp, method="hsd")
+    # optimum: x2 at its bound 4e7, x1 = 6e7 -> 3e3*6e7 + 2e3*4e7 = 2.6e11
+    assert sol.status == 0
+    assert abs(sol.primal_obj - 2.6e11) / 2.6e11 < 1e-8
+    assert abs(sol.x[0] - 6.0e7) / 6.0e7 < 1e-6
+    assert abs(sol.x[1] - 4.0e7) / 4.0e7 < 1e-6
+    # duals in original units: strong duality b'y (over original rows)
+    assert abs(sol.dual_obj - sol.primal_obj) / 2.6e11 < 1e-7
