@@ -116,7 +116,17 @@ def run_sweep(method: str = "hsd", out_dir: str | None = None,
         lp = netlib.load(name)
         t0 = time.perf_counter()
         try:
-            sol = solve(lp, method=method, config=cfg)
+            try:
+                sol = solve(lp, method=method, config=cfg)
+            except Exception as e:
+                # transient remote-compile hiccups (tunnel resets) deserve
+                # one retry; real faults will fail twice
+                if ("remote_compile" not in str(e)
+                        and "INTERNAL" not in str(e)):
+                    raise
+                if progress:
+                    print(f"{name}: transient ({e}); retrying once")
+                sol = solve(lp, method=method, config=cfg)
             status = sol.status
             obj = sol.primal_obj
             iters = sol.iterations
