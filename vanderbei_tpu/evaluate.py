@@ -112,7 +112,10 @@ def run_sweep(method: str = "hsd", out_dir: str | None = None,
     ref = reference_outcomes(method)
     records = []
     for name in names:
-        fname, rows, cols, nz, _flags, golden = netlib.NETLIB_GOLDEN[name]
+        fname, rows, cols, nz, _flags, _tbl = netlib.NETLIB_GOLDEN[name]
+        # the published-table value, unless the on-disk file revision is
+        # known to differ (HiGHS-verified; netlib_golden.ONDISK_OVERRIDES)
+        golden = netlib.ondisk_objective(name)
         lp = netlib.load(name)
         t0 = time.perf_counter()
         try:

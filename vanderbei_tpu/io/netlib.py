@@ -44,3 +44,11 @@ def load(name: str):
 
 def golden_objective(name: str) -> float:
     return NETLIB_GOLDEN[name][5]
+
+
+def ondisk_objective(name: str) -> float:
+    """The true optimum of the ON-DISK file: the published table value,
+    unless the file revision is known to differ (netlib_golden.
+    ONDISK_OVERRIDES, independently verified with HiGHS)."""
+    from .netlib_golden import ONDISK_OVERRIDES
+    return ONDISK_OVERRIDES.get(name, NETLIB_GOLDEN[name][5])

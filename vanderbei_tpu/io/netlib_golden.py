@@ -121,3 +121,14 @@ NETLIB_GOLDEN = {
     # in the published table; the reference binaries solve it to this)
     'STANDGUB': ('standgub.mps', 362, 1184, 3147, 'B', 1257.6995),
 }
+
+# On-disk file revisions whose true optimum differs from the published
+# table value (netlib files were revised over the years; the reference's
+# own binaries land on these too).  Values verified with an independent
+# solver (scipy HiGHS) on the exact MPS files under
+# /root/reference/problems/netlib/.
+ONDISK_OVERRIDES = {
+    'PILOT': -557.4897292796655,     # table: -5.5740430007E+02 (stale);
+                                     # reference ipo stalls at iterlim on
+                                     # the same -557.48960 point
+}
