@@ -68,10 +68,31 @@ class PdState(NamedTuple):
 def _refresh_binv(Afull, basics):
     """Recompute Binv = B^-1 from scratch (the dense 'refactor').
 
-    QR-based: TPU XLA has no f64 LU (see ops/linalg.py).
+    On TPU, f64 QR/triangular-solve are scalar-emulated (~1000x slower
+    than f32 — same pathology as f64 Cholesky, see ops/blocked.py), so
+    the f64 path seeds with a fast f32 QR inverse and polishes by
+    Newton-Schulz X <- X(2I - BX) in f64 gemms: each step squares the
+    residual, so 4 steps take the f32 seed's ~cond(B)*6e-8 error to f64
+    roundoff whenever cond(B) < ~1e7.  A residual check falls back to
+    the exact f64 QR for the rare ill-conditioned basis (the lax.cond
+    branch only runs when taken on the unbatched path).
     """
+    from ..ops.kkt import _use_blocked
     B = jnp.take(Afull, basics, axis=1)
-    return inv_qr(B)
+    if not _use_blocked(B.dtype):
+        return inv_qr(B)
+    m = B.shape[0]
+    eye = jnp.eye(m, dtype=B.dtype)
+    X = inv_qr(B.astype(jnp.float32)).astype(B.dtype)
+
+    def newton(_, X):
+        return X @ (2.0 * eye - B @ X)
+
+    X = jax.lax.fori_loop(0, 4, newton, X)
+    resid = jnp.max(jnp.abs(eye - B @ X))
+    good = jnp.isfinite(resid) & (resid < 1e-8 * m)
+    return jax.lax.cond(good, lambda _: X, lambda _: inv_qr(B),
+                        operand=None)
 
 
 def _reduced_costs(Afull, Binv, basics, nonbasics, cvec):
