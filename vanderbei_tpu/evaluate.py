@@ -138,6 +138,22 @@ def run_sweep(method: str = "hsd", out_dir: str | None = None,
             sol = None
             if progress:
                 print(f"{name}: ERROR {e}")
+            if "UNAVAILABLE" in str(e) or "crashed" in str(e):
+                # the TPU worker died: this process's JAX client is
+                # poisoned and every further solve would fail in
+                # milliseconds.  Record this row, then signal the sweep
+                # driver (nonzero exit) so it re-runs the chunk's
+                # problems one-per-process.
+                rec = dict(name=name, rows=rows, cols=cols, nonzeros=nz,
+                           status=int(status), objective=obj, golden=golden,
+                           solver_view=float("nan"), relerr=float("inf"),
+                           relerr_ref=float("inf"), iterations=0,
+                           seconds=round(time.perf_counter() - t0, 3))
+                records.append(rec)
+                if out_dir:
+                    write_record(out_dir, method, rec)
+                    write_readme(out_dir, method, records)
+                raise SystemExit(9)
         elapsed = time.perf_counter() - t0
         rel = (abs(obj - golden) / max(1.0, abs(golden))
                if status == int(Status.OPTIMAL) else float("inf"))
