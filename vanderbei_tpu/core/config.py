@@ -63,6 +63,11 @@ class SolverConfig:
     precision: str = "auto"
     stage1_mu: float = 1.0e-4       # mixed-mode stage boundary (mu)
     mixed_min_dim: int = 1024       # "auto": mixed only at/above this dim
+    # beyond this factored dim the f64-polish stage keeps an f32 FACTOR
+    # (f64 data + refinement): an f64 factor of a 14.8k KEN-11 head
+    # overflows the 16G HBM by ~45M at compile time, and at that scale
+    # the f64 blocked factor dominates runtime anyway
+    xl_f32factor_dim: int = 8192
 
     # Schur-eliminate singleton upper-bound rows from the KKT factor
     # (ops/kkt.UbTail).  Disable to force the fully dense canonical system.

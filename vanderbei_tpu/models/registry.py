@@ -128,7 +128,9 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
     args64 = mk_args64()
     if state is None:
         state = init_for(args64)
-    factor_dtype = jnp.float32 if precision == "f32factor" else None
+    factor_dtype = (jnp.float32
+                    if (precision == "f32factor"
+                        or min(shape) >= cfg.xl_f32factor_dim) else None)
     state = run_to_end(args64, state, factor_dtype)
 
     # a warm-started polish that exhausts the budget gets one clean f64

@@ -153,7 +153,11 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
     if ub is not None:
         from .pallas_kernels import scaled_syrk
         if f32_path:
-            M = scaled_syrk(A, Dt, Ec)
+            # form M wholly in f32 (MXU syrk): with an f32 factor the
+            # extra f64 digits of M are discarded anyway, and the f64
+            # syrk is the memory+time hog on XL problems (KEN-11)
+            M = scaled_syrk(A.astype(jnp.float32), Dt.astype(jnp.float32),
+                            Ec.astype(jnp.float32))
         else:
             M = (A * Dt[None, :]) @ A.T + jnp.diag(Ec)
     elif f32_path:
@@ -161,9 +165,13 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
         # (falls back to jnp off-TPU / non-tile shapes)
         from .pallas_kernels import scaled_syrk
         if use_primal_form(m, n, Q is not None):
-            M = scaled_syrk(A, 1.0 / Dc, Ec)
+            M = scaled_syrk(A.astype(jnp.float32),
+                            (1.0 / Dc).astype(jnp.float32),
+                            Ec.astype(jnp.float32))
         else:
-            M = scaled_syrk(A.T, 1.0 / Ec, Dc)
+            M = scaled_syrk(A.T.astype(jnp.float32),
+                            (1.0 / Ec).astype(jnp.float32),
+                            Dc.astype(jnp.float32))
             if Q is not None:
                 M = M + Q.astype(M.dtype)
     elif use_primal_form(m, n, Q is not None):
