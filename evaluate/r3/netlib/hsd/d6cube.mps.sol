@@ -2,5 +2,5 @@ m = 416,n = 6184,nz = 43888
 iterations = 26
 objective  = 3.1549167e+02
 golden     = 3.1549167e+02
-seconds    = 53.908
+seconds    = 13.914
 optimal solution 

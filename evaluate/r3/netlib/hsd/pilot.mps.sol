@@ -2,5 +2,5 @@ m = 1442,n = 3652,nz = 43220
 iterations = 53
 objective  = -5.5748973e+02
 golden     = -5.5748973e+02
-seconds    = 261.045
+seconds    = 202.659
 optimal solution 
