@@ -126,7 +126,9 @@ NETLIB_GOLDEN = {
 # table value (netlib files were revised over the years; the reference's
 # own binaries land on these too).  Values verified with an independent
 # solver (scipy HiGHS) on the exact MPS files under
-# /root/reference/problems/netlib/.
+# /root/reference/problems/netlib/ — reproduce with
+# scripts/verify_ondisk_overrides.py; the committed evidence is
+# scripts/ondisk_overrides_verification.json (PILOT relerr 2e-15).
 ONDISK_OVERRIDES = {
     'PILOT': -557.4897292796655,     # table: -5.5740430007E+02 (stale);
                                      # reference ipo stalls at iterlim on

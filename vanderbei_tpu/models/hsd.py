@@ -119,6 +119,7 @@ def make_step(A, b, c, *,
               epsdiag=1.0e-14,
               refine_tol=1.0e-10,
               gap_tol=1.0e-6,
+              feas_tol=1.0e-6,
               long_step: bool = False,
               max_refine: int = 8,
               trace: bool = False,
@@ -186,6 +187,12 @@ def make_step(A, b, c, *,
         primal_obj = dot(c, x)
         dual_obj = dot(b, y)
 
+        # infeasibilities (hsd.c:182-198); computed before stepping, in the
+        # reference's order, so the trace row matches its table — and
+        # before the stop test, which gates on their de-homogenized norms
+        rho = mv(A, x) - b * phi + w        # (m,) incl. implicit tail rows
+        sigma = -mvT(A, y) + c * phi + z
+
         # stopping rule (hsd.c:155-176 / hsdls.c:134-154) with an extra
         # QUALITY GATE the reference lacks: on hard instances (FORPLAN)
         # the homogenizing phi can collapse toward 0 faster than the
@@ -208,7 +215,16 @@ def make_step(A, b, c, *,
         # phi^2 shrinking alone (MODSZK1: x'z/phi^2 ~ 0.03 with a 1e-7
         # "gap" — the residuals conspire); this is the sharper signal
         comp_rel = (dot(z, x) + dot(w, y)) / (phi * phi) / scale
-        good = (gap_rel <= gap_tol) & (comp_rel <= gap_tol)
+        # de-homogenized primal/dual feasibility: a converged embedding
+        # can still carry O(1e-4) residuals at the de-homogenized point
+        # (BRANDY reports "optimal" 3.5e-4 off the true optimum with gap
+        # and complementarity both tiny — only ||rho||/phi betrays it).
+        # Norms are relative to ||b||, ||c|| like the reference's EPSSOL
+        # test normalizes by max|b|,|c| (ldlt.c:370-416 refinement target).
+        pinf_rel = jnp.sqrt(dot(rho, rho)) / phi / (1.0 + jnp.sqrt(dot(b, b)))
+        dinf_rel = jnp.sqrt(dot(sigma, sigma)) / phi / (1.0 + jnp.sqrt(dot(c, c)))
+        good = ((gap_rel <= gap_tol) & (comp_rel <= gap_tol)
+                & (pinf_rel <= feas_tol) & (dinf_rel <= feas_tol))
         fallback = int(Status.SUBOPTIMAL) if long_step else int(Status.DUAL_INFEASIBLE)
         final = jnp.where(
             opt_test,
@@ -217,11 +233,6 @@ def make_step(A, b, c, *,
                       jnp.where(primal_obj > 0.0, int(Status.DUAL_INFEASIBLE),
                                 fallback)))
         new_status = jnp.where(converged, final, int(Status.RUNNING))
-
-        # infeasibilities (hsd.c:182-198); computed before stepping, in the
-        # reference's order, so the trace row matches its table
-        rho = mv(A, x) - b * phi + w        # (m,) incl. implicit tail rows
-        sigma = -mvT(A, y) + c * phi + z
 
         if trace:
             normr = jnp.sqrt(rho @ rho) / phi
@@ -358,6 +369,7 @@ def _hsd_loop(A, b, c, f, init: HsdState, *,
               max_iter, eps, step_factor, beta, epsdiag, refine_tol,
               pause_mu,
               gap_tol=1.0e-6,
+              feas_tol=1.0e-6,
               long_step: bool = False,
               max_refine: int = 8,
               trace: bool = False,
@@ -379,11 +391,12 @@ def _hsd_loop(A, b, c, f, init: HsdState, *,
     refine_tol = jnp.asarray(refine_tol, dtype)
     pause_mu = jnp.asarray(pause_mu, dtype)
     gap_tol = jnp.asarray(gap_tol, dtype)
+    feas_tol = jnp.asarray(feas_tol, dtype)
     f = jnp.asarray(f, dtype)
 
     body = make_step(A, b, c, eps=eps, step_factor=step_factor,
                      beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
-                     gap_tol=gap_tol,
+                     gap_tol=gap_tol, feas_tol=feas_tol,
                      long_step=long_step, max_refine=max_refine,
                      trace=trace, f=f, factor_dtype=factor_dtype,
                      compensated=compensated, corrector=corrector, ub=ub)
@@ -520,6 +533,7 @@ def solve_canon(A, b, c, f, *,
                 epsdiag: float = 1.0e-14,
                 refine_tol: float = 1.0e-10,
                 gap_tol: float = 1.0e-6,
+                feas_tol: float = 1.0e-6,
                 max_refine: int = 8,
                 trace: bool = False,
                 factor_dtype=None,
@@ -549,7 +563,7 @@ def solve_canon(A, b, c, f, *,
     out = _hsd_loop(A, b, c, f, init,
                     max_iter=max_iter, eps=eps, step_factor=step_factor,
                     beta=beta, epsdiag=epsdiag, refine_tol=refine_tol,
-                    gap_tol=gap_tol,
+                    gap_tol=gap_tol, feas_tol=feas_tol,
                     pause_mu=pause_mu, long_step=long_step,
                     max_refine=max_refine, trace=trace,
                     factor_dtype=factor_dtype, compensated=compensated,

@@ -136,7 +136,7 @@ def _intpt_loop(A, b, c, f, Q, init: IntptState, *,
         pobj_mag = jnp.abs(c @ x)
         optimal = ((normr < eps * (1.0 + jnp.sqrt(b @ b)))
                    & (norms < eps * (1.0 + jnp.sqrt(c @ c)))
-                   & (gamma <= eps * jnp.maximum(1e-2, pobj_mag)))
+                   & (gamma <= eps * jnp.maximum(1.0, pobj_mag)))
         # divergence-based detection the reference itself marks "(unreliable)"
         # (intpt.c:175-182); gated here by the residual still being above
         # tolerance so sub-eps jitter can't trigger a false certificate

@@ -128,9 +128,15 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
     args64 = mk_args64()
     if state is None:
         state = init_for(args64)
+    # the XL dim-triggered f32-factor override applies only to the
+    # auto/mixed ladder: an EXPLICIT f64/dd request means full f64
+    # (advisor r3: silently capping a requested-f64 factor at f32
+    # accuracy can stall refinement with no signal)
     factor_dtype = (jnp.float32
                     if (precision == "f32factor"
-                        or min(shape) >= cfg.xl_f32factor_dim) else None)
+                        or (cfg.precision in ("auto", "mixed")
+                            and min(shape) >= cfg.xl_f32factor_dim))
+                    else None)
     state = run_to_end(args64, state, factor_dtype)
 
     # a warm-started polish that exhausts the budget gets one clean f64
@@ -311,7 +317,7 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False,
         return _hsd.solve_canon(
             A, b, c, canon.f, max_iter=total, eps=cfg.hsd_eps,
             step_factor=cfg.hsd_step_factor, long_step=long_step,
-            beta=cfg.beta, gap_tol=cfg.epssol,
+            beta=cfg.beta, gap_tol=cfg.epssol, feas_tol=cfg.epssol,
             epsdiag=max(cfg.epsdiag, 1e-8) if sprint else cfg.epsdiag,
             refine_tol=max(cfg.refine_tol, 1e-4) if sprint else cfg.refine_tol,
             max_refine=cfg.max_refine, trace=trace,
@@ -412,11 +418,38 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
     if (method in ("hsd", "hsdls") and mesh is None
             and int(np.asarray(status)) == int(Status.SUBOPTIMAL)):
         # the HSD quality gate (models/hsd.py) flagged a converged-but-
-        # poor point (phi collapse); cross-check with the second algorithm
-        # family — the path-following solver stops on RESIDUALS, so its
-        # optimum is trustworthy where HSD's embedding degenerated
-        # (FORPLAN-class instances).  Mirrors the reference's de-facto
-        # simplex-vs-IPM cross-validation (SURVEY.md section 4).
+        # poor de-homogenized point (gap, complementarity, or feasibility
+        # residuals above tolerance at mu < eps).
+        #
+        # First retry: re-solve UNSCALED.  The geometric equilibration
+        # (canonicalize, cfg.scale="geometric") fixes knife-edge problems
+        # (NESM/SCRS8/GANGES) but on a few instances (BRANDY, MODSZK1) it
+        # steers the embedding to a perturbed optimum — the de-homogenized
+        # dual residual grows as mu shrinks.  Unscaled, the same solver
+        # lands 1e-12 from the true optimum, so the pair of runs covers
+        # both failure modes; the gate decides which run to trust.
+        if cfg.scale != "none":
+            if cfg.verbose:
+                print("hsd suboptimal: retrying unscaled", flush=True)
+            canon2 = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
+                                  free_vars=cfg.free_vars, scale="none")
+            if pad_to == "auto" and not (
+                    cfg.use_ub_structure and _hsd_structure_applies(canon2)):
+                canon2 = pad_canon(canon2, size_class(canon2.m),
+                                   size_class(canon2.n))
+            st2, x2, y2, w2, z2, it2 = get_solver(method)(
+                canon2, cfg.with_(scale="none"), **kw)
+            if int(np.asarray(st2)) == int(Status.OPTIMAL):
+                status, x, y, w, z = st2, x2, y2, w2, z2
+                iters = int(np.asarray(iters)) + int(np.asarray(it2))
+                canon = canon2
+    if (method in ("hsd", "hsdls") and mesh is None
+            and int(np.asarray(status)) == int(Status.SUBOPTIMAL)):
+        # second retry: cross-check with the second algorithm family —
+        # the path-following solver stops on RESIDUALS, so its optimum is
+        # trustworthy where HSD's embedding degenerated (FORPLAN-class
+        # instances).  Mirrors the reference's de-facto simplex-vs-IPM
+        # cross-validation (SURVEY.md section 4).
         if cfg.verbose:
             print("hsd suboptimal (phi collapse): falling back to intpt",
                   flush=True)

@@ -200,7 +200,10 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
         L0 = blocked_cholesky(Ms)
 
         def bad_b(f):
-            return jnp.any(jnp.isnan(f.Loff)) | jnp.any(jnp.isnan(f.Winv))
+            # NaN OR Inf, matching the dense path's `bad`: a tiny subnormal
+            # pivot can blow a later column to Inf without any NaN
+            return (jnp.any(jnp.isnan(f.Loff) | jnp.isinf(f.Loff))
+                    | jnp.any(jnp.isnan(f.Winv) | jnp.isinf(f.Winv)))
 
         def cond_b(carry):
             reg, f = carry

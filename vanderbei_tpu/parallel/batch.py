@@ -119,13 +119,14 @@ def stack_class_structured(entries, M1: int, N: int, K: int,
 
 def _run_batch(A, b, c, init, *, max_iter, eps, step_factor, beta,
                epsdiag, refine_tol, pause_mu, long_step, max_refine,
-               factor_dtype, ub=None, gap_tol=1.0e-6,
+               factor_dtype, ub=None, gap_tol=1.0e-6, feas_tol=1.0e-6,
                corrector="mehrotra", compensated=False):
     def one(Ai, bi, ci, st, ubi):
         return _hsd._hsd_loop(
             Ai, bi, ci, 0.0, st, max_iter=max_iter, eps=eps,
             step_factor=step_factor, beta=beta, epsdiag=epsdiag,
             refine_tol=refine_tol, pause_mu=pause_mu, gap_tol=gap_tol,
+            feas_tol=feas_tol,
             long_step=long_step, max_refine=max_refine,
             factor_dtype=factor_dtype, corrector=corrector,
             compensated=compensated, ub=ubi)
