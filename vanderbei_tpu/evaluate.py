@@ -93,6 +93,47 @@ def reference_iterations(method: str) -> dict:
     return out
 
 
+def _client_alive() -> bool:
+    """Health-check the JAX client after an exception: a crashed TPU worker
+    poisons the process — every later solve dies in milliseconds, turning
+    the rest of a sweep chunk into bogus error rows (the r3 tree lost 8
+    collateral rows this way because only UNAVAILABLE-substring errors
+    triggered chunk isolation).  A tiny fresh-valued device op tells the
+    truth regardless of the exception's message text."""
+    try:
+        import time as _t
+        import jax.numpy as jnp
+        v = jnp.full((2,), float(_t.monotonic()))  # fresh content: the
+        # platform memoizes identical launches, a cached hit proves nothing
+        float(v.sum())                             # forces device round-trip
+        return True
+    except Exception:
+        return False
+
+
+def _make_record(name: str, lp, status, obj, iters, elapsed: float,
+                 ref: dict) -> dict:
+    """Assemble one results-tree row (golden/relative-error bookkeeping)."""
+    fname, rows, cols, nz, _flags, _tbl = netlib.NETLIB_GOLDEN[name]
+    golden = netlib.ondisk_objective(name)
+    status = int(status)
+    rel = (abs(obj - golden) / max(1.0, abs(golden))
+           if status == int(Status.OPTIMAL) else float("inf"))
+    sense = 1.0 if lp.maximize else -1.0
+    rel_ref = float("inf")
+    if status == int(Status.OPTIMAL) and name in ref:
+        try:
+            ref_obj = float(ref[name])
+            rel_ref = abs(ref_obj - sense * obj) / max(1.0, abs(ref_obj))
+        except ValueError:
+            pass
+    return dict(name=name, rows=rows, cols=cols, nonzeros=nz,
+                status=status, objective=float(obj), golden=golden,
+                solver_view=sense * float(obj),
+                relerr=rel, relerr_ref=rel_ref, iterations=int(iters),
+                seconds=round(elapsed, 3))
+
+
 def run_sweep(method: str = "hsd", out_dir: str | None = None,
               max_rows: int | None = None, max_cols: int | None = None,
               names: list[str] | None = None, config: SolverConfig | None = None,
@@ -112,10 +153,6 @@ def run_sweep(method: str = "hsd", out_dir: str | None = None,
     ref = reference_outcomes(method)
     records = []
     for name in names:
-        fname, rows, cols, nz, _flags, _tbl = netlib.NETLIB_GOLDEN[name]
-        # the published-table value, unless the on-disk file revision is
-        # known to differ (HiGHS-verified; netlib_golden.ONDISK_OVERRIDES)
-        golden = netlib.ondisk_objective(name)
         lp = netlib.load(name)
         t0 = time.perf_counter()
         try:
@@ -135,62 +172,205 @@ def run_sweep(method: str = "hsd", out_dir: str | None = None,
             iters = sol.iterations
         except Exception as e:      # record, don't abort the sweep
             status, obj, iters = -2, float("nan"), 0
-            sol = None
             if progress:
                 print(f"{name}: ERROR {e}")
-            if "UNAVAILABLE" in str(e) or "crashed" in str(e):
-                # the TPU worker died: this process's JAX client is
-                # poisoned and every further solve would fail in
-                # milliseconds.  Record this row, then signal the sweep
-                # driver (nonzero exit) so it re-runs the chunk's
-                # problems one-per-process.
-                rec = dict(name=name, rows=rows, cols=cols, nonzeros=nz,
-                           status=int(status), objective=obj, golden=golden,
-                           solver_view=float("nan"), relerr=float("inf"),
-                           relerr_ref=float("inf"), iterations=0,
-                           seconds=round(time.perf_counter() - t0, 3))
+            if not _client_alive():
+                # the TPU worker died (whatever the exception text): this
+                # process's JAX client is poisoned and every further solve
+                # would fail in milliseconds.  Record this row, then
+                # signal the sweep driver (nonzero exit) so it re-runs the
+                # chunk's remaining problems one-per-process.
+                rec = _make_record(name, lp, status, obj, 0,
+                                   time.perf_counter() - t0, ref)
                 records.append(rec)
                 if out_dir:
                     write_record(out_dir, method, rec)
                     write_readme(out_dir, method, records)
                 raise SystemExit(9)
-        elapsed = time.perf_counter() - t0
-        rel = (abs(obj - golden) / max(1.0, abs(golden))
-               if status == int(Status.OPTIMAL) else float("inf"))
-        # agreement with the reference binary's ACHIEVED objective on the
-        # same MPS file (a handful of corpus files' true optima differ from
-        # the published table at ~1e-6: our hsd, our pd and the reference's
-        # simpo/ipo all agree with each other there, not with the table)
-        # the reference tables record the solver-view (canonical max-form)
-        # value: the negated original-sense objective for min problems —
-        # compare SIGNED values so a sign-flipped objective can't pass
-        sense = 1.0 if lp.maximize else -1.0
-        rel_ref = float("inf")
-        if status == int(Status.OPTIMAL) and name in ref:
-            try:
-                ref_obj = float(ref[name])
-                rel_ref = (abs(ref_obj - sense * obj)
-                           / max(1.0, abs(ref_obj)))
-            except ValueError:
-                pass
-        rec = dict(name=name, rows=rows, cols=cols, nonzeros=nz,
-                   status=int(status), objective=obj, golden=golden,
-                   solver_view=sense * obj,
-                   relerr=rel, relerr_ref=rel_ref, iterations=int(iters),
-                   seconds=round(elapsed, 3))
+        rec = _make_record(name, lp, status, obj, iters,
+                           time.perf_counter() - t0, ref)
         records.append(rec)
         if progress:
-            tag = ("ok" if rel < 1e-6 else
-                   "ok(ref)" if rel_ref < 1e-6 else
-                   ("OBJ-MISMATCH" if status == int(Status.OPTIMAL)
-                    else status_message(status) if status >= 0 else "error"))
-            print(f"{name:10s} {method:8s} {tag:14s} obj={obj:.7e} "
-                  f"iters={iters} {elapsed:.2f}s", flush=True)
+            _print_rec(rec, method)
         if out_dir:
             write_record(out_dir, method, rec)
             write_readme(out_dir, method, records)   # incremental: a crash
             # mid-sweep leaves a valid partial results tree
     return records
+
+
+def _print_rec(rec: dict, method: str) -> None:
+    tag = ("ok" if rec["relerr"] < 1e-6 else
+           "ok(ref)" if rec["relerr_ref"] < 1e-6 else
+           ("OBJ-MISMATCH" if rec["status"] == int(Status.OPTIMAL)
+            else status_message(rec["status"]) if rec["status"] >= 0
+            else "error"))
+    print(f"{rec['name']:10s} {method:8s} {tag:14s} "
+          f"obj={rec['objective']:.7e} iters={rec['iterations']} "
+          f"{rec['seconds']:.2f}s", flush=True)
+
+
+def run_sweep_batched(method: str = "hsd", out_dir: str | None = None,
+                      names: list[str] | None = None,
+                      config: SolverConfig | None = None,
+                      progress: bool = True,
+                      max_batch: int = 1024, granularity: int = 512,
+                      time_limit: float | None = None):
+    """Corpus sweep through the BATCHED production path.
+
+    Small/mid problems (size class <= max_batch in both dims) stack into
+    padded classes and solve as ONE vmapped two-stage program per class —
+    one compile and one launch amortized over the whole class, versus the
+    per-problem path's ~30 s/problem of launch + executable-load overhead
+    on this remote platform.  Lanes whose batched verdict is not OPTIMAL
+    re-solve through registry.solve (quality-gate retries included).
+    Problems beyond max_batch run per-problem via run_sweep.
+
+    The reference's evaluate/ workload is embarrassingly parallel across
+    problems (SURVEY.md section 2.7) — this is its TPU-native shape.
+    """
+    from .core.canonicalize import canonicalize
+    from .models.registry import size_class as reg_size_class
+    from .parallel import batch as pbatch
+
+    if names is None:
+        names = netlib.available_problems()
+    cfg = config or SolverConfig()
+    ref = reference_outcomes(method)
+    records = []
+
+    def emit(rec):
+        records.append(rec)
+        if progress:
+            _print_rec(rec, method)
+        if out_dir:
+            write_record(out_dir, method, rec)
+            write_readme(out_dir, method, records)
+
+    # partition: batchable classes vs per-problem tail
+    hsd_family = method in ("hsd", "hsdls")
+    small_names, small_lps, big_names = [], [], []
+    for name in names:
+        lp = netlib.load(name)
+        canon = canonicalize(lp, pad_to=1, free_vars=cfg.free_vars,
+                             scale=cfg.scale)
+        if canon.status != int(Status.RUNNING):
+            emit(_make_record(name, lp, canon.status, 0.0, 0, 0.0, ref))
+            continue
+        if (reg_size_class(canon.m) <= max_batch
+                and reg_size_class(canon.n) <= max_batch):
+            small_names.append(name)
+            small_lps.append(lp)
+        else:
+            big_names.append(name)
+
+    classes, aborted = pbatch.group_by_class(
+        small_lps, granularity=granularity,
+        use_ub_structure=hsd_family and cfg.use_ub_structure,
+        scale=cfg.scale, free_vars=cfg.free_vars)
+    assert not aborted, "aborts were filtered above"
+
+    for key, entries in sorted(classes.items(),
+                               key=lambda kv: max(kv[0][1:])):
+        t0 = time.perf_counter()
+        try:
+            recs = _solve_batched_class(method, key, entries, small_names,
+                                        small_lps, cfg)
+        except Exception as e:
+            if progress:
+                print(f"class {key}: ERROR {e}", flush=True)
+            if not _client_alive():
+                for idx, _ in entries:
+                    emit(_make_record(small_names[idx], small_lps[idx], -2,
+                                      float("nan"), 0,
+                                      time.perf_counter() - t0, ref))
+                if out_dir:
+                    write_readme(out_dir, method, records)
+                raise SystemExit(9)
+            # client alive: fall back to per-problem for this class
+            recs = None
+        if recs is None:
+            sub = run_sweep(method=method, out_dir=out_dir,
+                            names=[small_names[i] for i, _ in entries],
+                            config=cfg, progress=progress,
+                            time_limit=time_limit)
+            records.extend(sub)
+            continue
+        per_lane_s = (time.perf_counter() - t0) / max(1, len(entries))
+        for (idx, _), (st, obj, iters, extra_s) in zip(entries, recs):
+            emit(_make_record(small_names[idx], small_lps[idx], st, obj,
+                              iters, per_lane_s + extra_s, ref))
+
+    # the big tail runs per-problem (two-stage ladder, XL f32 path)
+    if big_names:
+        sub = run_sweep(method=method, out_dir=out_dir, names=big_names,
+                        config=cfg, progress=progress,
+                        time_limit=time_limit)
+        records.extend(sub)
+    return records
+
+
+def _solve_batched_class(method, key, entries, small_names, small_lps, cfg):
+    """Solve one stacked class; returns [(status, obj, iters, extra_s)]
+    aligned with entries.  Non-OPTIMAL lanes re-solve per-problem through
+    registry.solve inside this helper (their wall time lands in extra_s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .parallel import batch as pbatch
+
+    canons = [canon for _, canon in entries]
+    structured = key[0] == "s"
+    if method in ("hsd", "hsdls"):
+        if structured:
+            _, M1, N, K = key
+            A, b, c, ub = pbatch.stack_class_structured(
+                [(None, canon) for canon in canons], M1, N, K)
+            ub = jax.tree.map(jnp.asarray, ub)
+        else:
+            M, N = key[-2], key[-1]
+            A, b, c = pbatch.stack_class(
+                [(None, canon) for canon in canons], M, N)
+            ub = None
+        st, x, y, w, z, iters = pbatch.solve_batch_hsd(
+            jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), ub=ub,
+            long_step=(method == "hsdls"),
+            corrector=cfg.hsd_corrector)
+    elif method == "pd":
+        M, N = key[-2], key[-1]
+        A, b, c = pbatch.stack_class(
+            [(None, canon) for canon in canons], M, N)
+        st, x, y, w, z, iters = pbatch.solve_batch_pd(
+            jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+            # batched budget: the class runs until its SLOWEST lane stops,
+            # so one degenerate cycler would hold the whole class hostage
+            # at the full 200k budget; iterlim lanes re-solve per-problem
+            max_iter=cfg.max_iter or 20_000,
+            refresh_every=cfg.refresh_every, seed=cfg.seed)
+        c = jnp.asarray(c)
+    else:
+        raise ValueError(f"no batched path for method {method!r}")
+    st = np.asarray(st)
+    x = np.asarray(x)
+    iters = np.asarray(iters)
+    c = np.asarray(c)
+
+    out = []
+    for j, (idx, canon) in enumerate(entries):
+        n = canon.n
+        sign = 1.0 if canon.maximize else -1.0
+        obj = sign * (canon.obj_scale * float(c[j][:n] @ x[j][:n]) + canon.f)
+        if int(st[j]) != int(Status.OPTIMAL):
+            # per-problem rescue: full registry path (quality-gate
+            # retries, precision ladder, intpt fallback)
+            t0 = time.perf_counter()
+            sol = solve(small_lps[idx], method=method, config=cfg)
+            out.append((sol.status, sol.primal_obj,
+                        int(iters[j]) + sol.iterations,
+                        time.perf_counter() - t0))
+        else:
+            out.append((int(st[j]), obj, int(iters[j]), 0.0))
+    return out
 
 
 def write_record(out_dir: str, method: str, rec: dict) -> None:
@@ -309,6 +489,13 @@ def main(argv=None) -> int:
     p.add_argument("--names", nargs="*", default=None)
     p.add_argument("--time-limit", type=float, default=None,
                    help="per-problem wall budget in seconds")
+    p.add_argument("--batch", action="store_true",
+                   help="solve small/mid problems through the batched "
+                        "vmapped path (one compile+launch per size class)")
+    p.add_argument("--max-batch", type=int, default=1024,
+                   help="largest size class (both dims) to batch")
+    p.add_argument("--granularity", type=int, default=512,
+                   help="batched size-class rounding")
     p.add_argument("--precision", default=None,
                    choices=("auto", "mixed", "f32factor", "f64", "dd"))
     p.add_argument("--free-vars", default="split",
@@ -319,9 +506,18 @@ def main(argv=None) -> int:
     cfg = SolverConfig(free_vars=args.free_vars)
     if args.precision:
         cfg = cfg.with_(precision=args.precision)
-    run_sweep(method=args.method, out_dir=args.out, max_rows=args.max_rows,
-              max_cols=args.max_cols, names=args.names,
-              config=cfg, time_limit=args.time_limit)
+    if args.batch:
+        names = args.names or netlib.available_problems(
+            max_rows=args.max_rows, max_cols=args.max_cols)
+        run_sweep_batched(method=args.method, out_dir=args.out, names=names,
+                          config=cfg, max_batch=args.max_batch,
+                          granularity=args.granularity,
+                          time_limit=args.time_limit)
+    else:
+        run_sweep(method=args.method, out_dir=args.out,
+                  max_rows=args.max_rows, max_cols=args.max_cols,
+                  names=args.names, config=cfg,
+                  time_limit=args.time_limit)
     return 0
 
 
