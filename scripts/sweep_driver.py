@@ -45,7 +45,17 @@ def main() -> int:
                "--names", *remaining] + extra
         print(f"[driver] attempt {attempt + 1}: {len(remaining)} problems",
               flush=True)
-        rc = subprocess.run(cmd, cwd=REPO).returncode
+        # bounded wall per attempt: the r3 round left a sweep subprocess
+        # (7200s chunk timeout > remaining round budget) alive PAST its
+        # round, where it fought the next round's runs for the one chip —
+        # the r4 root-cause finding (evaluate/r4/XL_CRASH_ROOTCAUSE.md)
+        try:
+            rc = subprocess.run(
+                cmd, cwd=REPO,
+                timeout=float(os.environ.get("SWEEP_ATTEMPT_TIMEOUT",
+                                             "7200"))).returncode
+        except subprocess.TimeoutExpired:
+            rc = -9
         print(f"[driver] attempt {attempt + 1} rc={rc}", flush=True)
         if rc == 0:
             break

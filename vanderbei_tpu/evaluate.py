@@ -336,6 +336,13 @@ def _solve_batched_class(method, key, entries, small_names, small_lps, cfg):
             jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), ub=ub,
             long_step=(method == "hsdls"),
             corrector=cfg.hsd_corrector)
+    elif method == "intpt":
+        M, N = key[-2], key[-1]
+        A, b, c = pbatch.stack_class(
+            [(None, canon) for canon in canons], M, N)
+        st, x, y, w, z, iters = pbatch.solve_batch_intpt(
+            jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+            max_iter=cfg.max_iter or 200, eps=cfg.ipm_eps)
     elif method == "pd":
         M, N = key[-2], key[-1]
         A, b, c = pbatch.stack_class(
@@ -496,6 +503,10 @@ def main(argv=None) -> int:
                    help="largest size class (both dims) to batch")
     p.add_argument("--granularity", type=int, default=512,
                    help="batched size-class rounding")
+    p.add_argument("--ipm-eps", type=float, default=None,
+                   help="intpt residual/gap stop (reference 1e-6, "
+                        "intpt.c:30; 1e-7 lands objectives inside the "
+                        "1e-6 scoring bar)")
     p.add_argument("--precision", default=None,
                    choices=("auto", "mixed", "f32factor", "f64", "dd"))
     p.add_argument("--free-vars", default="split",
@@ -506,6 +517,8 @@ def main(argv=None) -> int:
     cfg = SolverConfig(free_vars=args.free_vars)
     if args.precision:
         cfg = cfg.with_(precision=args.precision)
+    if args.ipm_eps:
+        cfg = cfg.with_(ipm_eps=args.ipm_eps)
     if args.batch:
         names = args.names or netlib.available_problems(
             max_rows=args.max_rows, max_cols=args.max_cols)

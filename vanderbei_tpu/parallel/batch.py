@@ -229,6 +229,58 @@ def shard_batch(arrays, mesh, model_axis_dims=()):
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "max_refine", "precision"))
+def solve_batch_intpt(A, b, c, *,
+                      max_iter: int = 200,
+                      eps: float = 1.0e-6,
+                      delta: float = 0.02,
+                      step_factor: float = 0.9,
+                      epsdiag: float = 1.0e-14,
+                      refine_tol: float = 1.0e-10,
+                      max_refine: int = 4,
+                      precision: str = "mixed",
+                      stage1_gap: float = 1.0e-2):
+    """Two-stage vmapped path-following IPM over a stacked class.
+
+    Mirrors solve_batch_hsd: stage 1 runs every lane in f32 until its
+    duality gap crosses stage1_gap * (n+m), stage 2 resumes in f64 to the
+    reference tolerance (intpt.c:30).  One jitted program end to end.
+    """
+    from ..models import intpt as _intpt
+    B, mp, np_ = A.shape
+    knob_gap = stage1_gap * (mp + np_)
+
+    def run(Ai, bi, ci, st, pause, factor_dtype, eps_d, ref_t, dd):
+        return _intpt._intpt_loop(
+            Ai, bi, ci, 0.0, jnp.zeros((), Ai.dtype), st,
+            max_iter=max_iter, eps=eps, delta=delta,
+            step_factor=step_factor, epsdiag=eps_d, refine_tol=ref_t,
+            pause_gap=pause, div_detect=dd, max_refine=max_refine,
+            factor_dtype=factor_dtype, has_q=False)
+
+    if precision == "mixed":
+        A32 = A.astype(jnp.float32)
+        st = jax.vmap(_intpt.init_state)(A32)
+        st = jax.vmap(lambda Ai, bi, ci, s: run(
+            Ai, bi, ci, s, knob_gap, None,
+            jnp.maximum(epsdiag, 1e-8), jnp.maximum(refine_tol, 1e-4),
+            False))(A32, b.astype(jnp.float32), c.astype(jnp.float32), st)
+        st = _intpt.cast_state(st, jnp.float64)
+        finite = jnp.all(jnp.isfinite(st.x), axis=1)
+        fresh = jax.vmap(_intpt.init_state)(A)
+        st = jax.tree.map(
+            lambda warm, cold: jnp.where(
+                finite.reshape((-1,) + (1,) * (warm.ndim - 1)), warm, cold),
+            st, fresh)
+    else:
+        st = jax.vmap(_intpt.init_state)(A)
+    out = jax.vmap(lambda Ai, bi, ci, s: run(
+        Ai, bi, ci, s, 0.0, None, epsdiag, refine_tol, True))(A, b, c, st)
+    return jax.vmap(_intpt.finish_state, in_axes=(0, None))(out, max_iter)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "refresh_every"))
 def solve_batch_pd(A, b, c, *, max_iter: int = 20000,
                    refresh_every: int = 64, seed: int = 0):
