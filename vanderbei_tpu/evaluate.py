@@ -247,28 +247,38 @@ def run_sweep_batched(method: str = "hsd", out_dir: str | None = None,
             write_record(out_dir, method, rec)
             write_readme(out_dir, method, records)
 
-    # partition: batchable classes vs per-problem tail
+    # partition into batchable classes vs per-problem tail — ONE
+    # canonicalization per problem (the XL instances' dense canonical
+    # arrays cost minutes of host time each; building them twice
+    # dominated the sweep's startup)
+    from .models.registry import _hsd_structure_applies
     hsd_family = method in ("hsd", "hsdls")
+    use_ub = hsd_family and cfg.use_ub_structure
     small_names, small_lps, big_names = [], [], []
+    classes: dict = {}
     for name in names:
         lp = netlib.load(name)
-        canon = canonicalize(lp, pad_to=1, free_vars=cfg.free_vars,
-                             scale=cfg.scale)
+        canon = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
+                             free_vars=cfg.free_vars, scale=cfg.scale)
         if canon.status != int(Status.RUNNING):
             emit(_make_record(name, lp, canon.status, 0.0, 0, 0.0, ref))
             continue
-        if (reg_size_class(canon.m) <= max_batch
+        if not (reg_size_class(canon.m) <= max_batch
                 and reg_size_class(canon.n) <= max_batch):
-            small_names.append(name)
-            small_lps.append(lp)
-        else:
             big_names.append(name)
-
-    classes, aborted = pbatch.group_by_class(
-        small_lps, granularity=granularity,
-        use_ub_structure=hsd_family and cfg.use_ub_structure,
-        scale=cfg.scale, free_vars=cfg.free_vars)
-    assert not aborted, "aborts were filtered above"
+            continue
+        idx = len(small_names)
+        small_names.append(name)
+        small_lps.append(lp)
+        ru = lambda d: pbatch._round_up(d, granularity)
+        if use_ub and _hsd_structure_applies(canon):
+            k = len(canon.ub_cols)
+            key = ("s", ru(canon.m - k), ru(canon.n), ru(k))
+        elif use_ub:
+            key = ("d", ru(canon.m), ru(canon.n))
+        else:
+            key = (ru(canon.m), ru(canon.n))
+        classes.setdefault(key, []).append((idx, canon))
 
     for key, entries in sorted(classes.items(),
                                key=lambda kv: max(kv[0][1:])):
