@@ -122,6 +122,29 @@ def _geometric_equilibrate(A, m, n, passes=4):
     return r, s
 
 
+def canon_dims(lp: LP, free_vars: str = "reject"):
+    """(m_canon, n_canon, status) WITHOUT building the dense canonical
+    arrays — the same arithmetic as canonicalize steps 1-4 on the bound
+    vectors only.  Partitioning a sweep by size class needs just the dims;
+    materializing an XL instance's dense form (KEN-11: ~6 GB) twice per
+    sweep was the dominant startup cost.
+    """
+    m, n = lp.m, lp.n
+    r = lp.r if lp.r is not None else np.zeros(m)
+    l = np.asarray(lp.l if lp.l is not None else np.zeros(n),
+                   dtype=np.float64)
+    u = np.asarray(lp.u if lp.u is not None else np.full(n, INF),
+                   dtype=np.float64)
+    free = np.isneginf(l)
+    if free.any() and free_vars == "reject":
+        return 0, n, int(Status.DUAL_UNBOUNDED)
+    u_shift = np.where(np.isfinite(u), u - np.where(free, 0.0, l), u)
+    m_canon = (m + int(np.isfinite(r).sum())
+               + int(np.isfinite(u_shift).sum()))
+    n_canon = n + int(free.sum())
+    return m_canon, n_canon, int(Status.RUNNING)
+
+
 def canonicalize(lp: LP, pad_to: int = 1, dtype=np.float64,
                  free_vars: str = "reject",
                  pad_rows_to: int | None = None,

@@ -251,6 +251,7 @@ def run_sweep_batched(method: str = "hsd", out_dir: str | None = None,
     # canonicalization per problem (the XL instances' dense canonical
     # arrays cost minutes of host time each; building them twice
     # dominated the sweep's startup)
+    from .core.canonicalize import canon_dims
     from .models.registry import _hsd_structure_applies
     hsd_family = method in ("hsd", "hsdls")
     use_ub = hsd_family and cfg.use_ub_structure
@@ -258,15 +259,19 @@ def run_sweep_batched(method: str = "hsd", out_dir: str | None = None,
     classes: dict = {}
     for name in names:
         lp = netlib.load(name)
-        canon = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
-                             free_vars=cfg.free_vars, scale=cfg.scale)
-        if canon.status != int(Status.RUNNING):
-            emit(_make_record(name, lp, canon.status, 0.0, 0, 0.0, ref))
+        # dims-only probe first: XL instances route to the per-problem
+        # path without ever materializing their dense canonical form here
+        mc, nc, st_probe = canon_dims(lp, free_vars=cfg.free_vars)
+        if st_probe != int(Status.RUNNING):
+            emit(_make_record(name, lp, st_probe, 0.0, 0, 0.0, ref))
             continue
-        if not (reg_size_class(canon.m) <= max_batch
-                and reg_size_class(canon.n) <= max_batch):
+        if not (reg_size_class(mc) <= max_batch
+                and reg_size_class(nc) <= max_batch):
             big_names.append(name)
             continue
+        canon = canonicalize(lp, pad_to=1, dtype=cfg.dtype,
+                             free_vars=cfg.free_vars, scale=cfg.scale)
+        assert canon.status == int(Status.RUNNING)
         idx = len(small_names)
         small_names.append(name)
         small_lps.append(lp)
