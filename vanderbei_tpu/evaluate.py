@@ -362,7 +362,8 @@ def _solve_batched_class(method, key, entries, small_names, small_lps, cfg,
             [(None, canon) for canon in canons], M, N)
         st, x, y, w, z, iters = pbatch.solve_batch_intpt(
             jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
-            max_iter=cfg.max_iter or 200, eps=cfg.ipm_eps)
+            max_iter=cfg.max_iter or 200, eps=cfg.ipm_eps,
+            gap_floor=1.0e-2 if cfg.scale != "none" else 1.0)
     elif method == "pd":
         M, N = key[-2], key[-1]
         A, b, c = pbatch.stack_class(

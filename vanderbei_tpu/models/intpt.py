@@ -85,7 +85,7 @@ def _ratio_step(x, dx, z, dz, y, dy, w, dw, r):
 )
 def _intpt_loop(A, b, c, f, Q, init: IntptState, *,
                 max_iter, eps, delta, step_factor, epsdiag, refine_tol,
-                pause_gap, div_detect,
+                pause_gap, div_detect, gap_floor=1.0,
                 max_refine: int = 8,
                 trace: bool = False,
                 factor_dtype=None,
@@ -100,6 +100,7 @@ def _intpt_loop(A, b, c, f, Q, init: IntptState, *,
     epsdiag = jnp.asarray(epsdiag, dtype)
     refine_tol = jnp.asarray(refine_tol, dtype)
     pause_gap = jnp.asarray(pause_gap, dtype)
+    gap_floor = jnp.asarray(gap_floor, dtype)
     div_detect = jnp.asarray(div_detect, bool)
     f = jnp.asarray(f, dtype)
     Qq = Q if has_q else None
@@ -136,7 +137,7 @@ def _intpt_loop(A, b, c, f, Q, init: IntptState, *,
         pobj_mag = jnp.abs(c @ x)
         optimal = ((normr < eps * (1.0 + jnp.sqrt(b @ b)))
                    & (norms < eps * (1.0 + jnp.sqrt(c @ c)))
-                   & (gamma <= eps * jnp.maximum(1.0, pobj_mag)))
+                   & (gamma <= eps * jnp.maximum(gap_floor, pobj_mag)))
         # divergence-based detection the reference itself marks "(unreliable)"
         # (intpt.c:175-182); gated here by the residual still being above
         # tolerance so sub-eps jitter can't trigger a false certificate
@@ -197,6 +198,7 @@ def solve_canon(A, b, c, f, *,
                 factor_dtype=None,
                 pause_gap: float = 0.0,
                 div_detect: bool = True,
+                gap_floor: float = 1.0,
                 init: IntptState | None = None):
     """Solve max c'x - x'Qx/2, Ax <= b, x >= 0 (dense canonical).
 
@@ -219,7 +221,7 @@ def solve_canon(A, b, c, f, *,
                       max_iter=max_iter, eps=eps, delta=delta,
                       step_factor=step_factor, epsdiag=epsdiag,
                       refine_tol=refine_tol, pause_gap=pause_gap,
-                      div_detect=div_detect,
+                      div_detect=div_detect, gap_floor=gap_floor,
                       max_refine=max_refine, trace=trace,
                       factor_dtype=factor_dtype, has_q=has_q)
     status, x, y, w, z, iters = finish_state(out, max_iter)

@@ -191,7 +191,16 @@ def _solve_intpt(canon: CanonLP, cfg: SolverConfig):
             refine_tol=max(cfg.refine_tol, 1e-4) if sprint else cfg.refine_tol,
             max_refine=cfg.max_refine, trace=trace,
             factor_dtype=factor_dtype, pause_gap=pause,
-            div_detect=not sprint, init=init)[-1]
+            div_detect=not sprint,
+            # gap-stop floor: under geometric+norm equilibration the
+            # scaled objective sits near unit scale (often below 1), so
+            # floor at 1e-2 to keep the stop at least as sharp as the
+            # reference's absolute gamma < eps (intpt.c:152-158); in
+            # scale='none' parity mode floor at 1.0 — there the 1e-2
+            # floor was 100x STRICTER than the reference for
+            # near-zero-objective problems (advisor r3)
+            gap_floor=1.0e-2 if cfg.scale != "none" else 1.0,
+            init=init)[-1]
 
     # intpt's stage boundary is on the duality gap (its own stop is
     # absolute eps on residuals+gap, intpt.c:30); stage1_mu * (n+m) keeps

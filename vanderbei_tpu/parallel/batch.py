@@ -241,7 +241,8 @@ def solve_batch_intpt(A, b, c, *,
                       refine_tol: float = 1.0e-10,
                       max_refine: int = 4,
                       precision: str = "mixed",
-                      stage1_gap: float = 1.0e-2):
+                      stage1_gap: float = 1.0e-2,
+                      gap_floor: float = 1.0e-2):
     """Two-stage vmapped path-following IPM over a stacked class.
 
     Mirrors solve_batch_hsd: stage 1 runs every lane in f32 until its
@@ -257,7 +258,8 @@ def solve_batch_intpt(A, b, c, *,
             Ai, bi, ci, 0.0, jnp.zeros((), Ai.dtype), st,
             max_iter=max_iter, eps=eps, delta=delta,
             step_factor=step_factor, epsdiag=eps_d, refine_tol=ref_t,
-            pause_gap=pause, div_detect=dd, max_refine=max_refine,
+            pause_gap=pause, div_detect=dd, gap_floor=gap_floor,
+            max_refine=max_refine,
             factor_dtype=factor_dtype, has_q=False)
 
     if precision == "mixed":
