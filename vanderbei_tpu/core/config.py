@@ -68,6 +68,12 @@ class SolverConfig:
     # overflows the 16G HBM by ~45M at compile time, and at that scale
     # the f64 blocked factor dominates runtime anyway
     xl_f32factor_dim: int = 8192
+    # XL solves chunk their while_loop launches unconditionally: one
+    # launch must stay under the remote worker's watchdog even when every
+    # iteration pays a full Tikhonov escalation (see
+    # registry._deadline_iter_budget; GREENBEA-class crash root cause)
+    xl_chunk_dim: int = 2048
+    xl_chunk_iters: int = 5
 
     # Schur-eliminate singleton upper-bound rows from the KKT factor
     # (ops/kkt.UbTail).  Disable to force the fully dense canonical system.

@@ -58,16 +58,33 @@ def _check_finite(state) -> bool:
     return bool(np.all(np.isfinite(x))) and bool(np.isfinite(np.asarray(state.phi) if hasattr(state, "phi") else 0.0))
 
 
-def _deadline_iter_budget(cfg: SolverConfig, max_iter: int):
+def _deadline_iter_budget(cfg: SolverConfig, max_iter: int,
+                          dim: int = 0):
     """Chunked iteration budgets honoring cfg.time_limit (TIMLIM header).
 
     max_iter is a traced scalar to the loops, so chunking costs no
-    recompiles; with no time limit this is a single full-budget chunk.
+    recompiles; with no time limit this is a single full-budget chunk —
+    EXCEPT for XL factored dims, which chunk unconditionally: the remote
+    worker kills launches that run past its watchdog, and one XL
+    iteration with a full Tikhonov escalation (7 re-factorizations,
+    kkt_factor) can take ~15 s, so a 25-iteration launch on a degenerate
+    instance (GREENBEA class) exceeds the watchdog and reports
+    "TPU worker crashed".  VANDERBEI_CHUNK overrides (bisection knob).
     """
+    import os
+    env = os.environ.get("VANDERBEI_CHUNK")
+    base = int(env) if env else 25
     if not np.isfinite(cfg.time_limit):
+        if dim >= cfg.xl_chunk_dim or env:
+            chunk = max(1, min(base if env else cfg.xl_chunk_iters,
+                               max_iter))
+            return ([chunk] * ((max_iter + chunk - 1) // chunk), None)
         return [max_iter], None
-    chunk = max(1, min(25, max_iter))
-    return [chunk] * ((max_iter + chunk - 1) // chunk), time.monotonic() + cfg.time_limit
+    chunk = max(1, min(base, max_iter))
+    if dim >= cfg.xl_chunk_dim:
+        chunk = max(1, min(chunk, cfg.xl_chunk_iters))
+    return ([chunk] * ((max_iter + chunk - 1) // chunk),
+            time.monotonic() + cfg.time_limit)
 
 
 def resolve_precision(cfg: SolverConfig, shape) -> str:
@@ -90,7 +107,8 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
     if init_for is None:
         init_for = lambda args: solver_mod.init_state(args[0])
     precision = resolve_precision(cfg, shape)
-    chunks, deadline = _deadline_iter_budget(cfg, max_iter)
+    chunks, deadline = _deadline_iter_budget(cfg, max_iter,
+                                             dim=min(shape))
 
     def run_to_end(args, state, factor_dtype):
         for budget in chunks:
