@@ -472,17 +472,18 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
                 canon = canon2
     if (method in ("hsd", "hsdls") and mesh is None
             and int(np.asarray(status)) == int(Status.SUBOPTIMAL)
-            and canon.m * canon.n <= 200_000_000):
+            and canon.m * canon.n <= 100_000_000):
         # second retry: cross-check with the second algorithm family —
         # the path-following solver stops on RESIDUALS, so its optimum is
         # trustworthy where HSD's embedding degenerated (FORPLAN-class
         # instances).  Mirrors the reference's de-facto simplex-vs-IPM
         # cross-validation (SURVEY.md section 4).
         # Size gate: intpt has no UbTail elimination, so its dense
-        # canonical system on a KEN-11-class instance (51200x21504 f64 +
-        # the f64-emulation splits) tries to allocate ~35 GB at compile
-        # and OOMs the 16 GB chip — beyond the gate the honest outcome is
-        # the SUBOPTIMAL verdict itself.
+        # canonical system plus the f64 gemm-emulation operand splits
+        # blow the 16 GB chip well before the data itself does (KEN-11:
+        # 35 GB allocation; FIT2P at 13568^2: 17.4 GB program) — beyond
+        # ~1e8 canonical elements the honest outcome is the SUBOPTIMAL
+        # verdict itself.
         if cfg.verbose:
             print("hsd suboptimal (phi collapse): falling back to intpt",
                   flush=True)
