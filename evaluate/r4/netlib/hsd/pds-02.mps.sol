@@ -1,6 +1,6 @@
 m = 2953,n = 7535,nz = 16390
-iterations = 0
-objective  = nan
+iterations = 36
+objective  = 2.8857862e+10
 golden     = 2.8857862e+10
-seconds    = 300.056
-error 
+seconds    = 151.162
+optimal solution 

@@ -68,6 +68,12 @@ class SolverConfig:
     # overflows the 16G HBM by ~45M at compile time, and at that scale
     # the f64 blocked factor dominates runtime anyway
     xl_f32factor_dim: int = 8192
+    # ...or when the head operand A1 itself is large: every f64 gemm
+    # against A1 materializes bf16 split-stack copies of it (the TPU f64
+    # emulation), so a 6144x13824 FIT2P head costs ~17 GB of HLO temps in
+    # full f64 — the f32 factor + f32 M formation removes the dominant
+    # (A1*D)@A1' f64 gemm entirely
+    xl_f32factor_elems: int = 60_000_000
     # XL solves chunk their while_loop launches unconditionally: one
     # launch must stay under the remote worker's watchdog even when every
     # iteration pays a full Tikhonov escalation (see

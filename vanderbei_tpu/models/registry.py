@@ -153,7 +153,9 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
     factor_dtype = (jnp.float32
                     if (precision == "f32factor"
                         or (cfg.precision in ("auto", "mixed")
-                            and min(shape) >= cfg.xl_f32factor_dim))
+                            and (min(shape) >= cfg.xl_f32factor_dim
+                                 or shape[0] * shape[1]
+                                 >= cfg.xl_f32factor_elems)))
                     else None)
     state = run_to_end(args64, state, factor_dtype)
 
