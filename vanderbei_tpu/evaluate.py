@@ -541,6 +541,9 @@ def main(argv=None) -> int:
                    help="largest size class (both dims) to batch")
     p.add_argument("--granularity", type=int, default=512,
                    help="batched size-class rounding")
+    p.add_argument("--max-iter", type=int, default=None,
+                   help="iteration/pivot budget override (pd: bounds the "
+                        "one-launch pivot loop under the worker watchdog)")
     p.add_argument("--ipm-eps", type=float, default=None,
                    help="intpt residual/gap stop (reference 1e-6, "
                         "intpt.c:30; 1e-7 lands objectives inside the "
@@ -557,6 +560,8 @@ def main(argv=None) -> int:
         cfg = cfg.with_(precision=args.precision)
     if args.ipm_eps:
         cfg = cfg.with_(ipm_eps=args.ipm_eps)
+    if args.max_iter:
+        cfg = cfg.with_(max_iter=args.max_iter)
     if args.batch:
         names = args.names or netlib.available_problems(
             max_rows=args.max_rows, max_cols=args.max_cols)
