@@ -233,7 +233,11 @@ def solve_class(key, entries, jiggle, rng):
         obj = sign * (canon.obj_scale
                       * float(np.asarray(c[j])[:n] @ x[j][:n]) + canon.f)
         if int(st[j]) != int(Status.OPTIMAL):
-            sol = registry_solve(lp, method="hsd")
+            # primary-path per-problem re-solve, quality retries OFF:
+            # bench times the production path; a SUBOPTIMAL verdict is
+            # counted honestly in the mismatch accounting rather than
+            # paying a ~1000s retry chain per rep (GREENBEA class)
+            sol = registry_solve(lp, method="hsd", config=BENCH_CFG)
             recs.append((name, sol.status, sol.primal_obj,
                          int(iters[j]) + sol.iterations))
         else:
@@ -249,7 +253,7 @@ def solve_big(name, lp, jiggle, rng):
         import copy
         lp = copy.copy(lp)
         lp.b = lp.b * (1.0 + 1e-9 * jiggle * float(rng.uniform(0.5, 1.0)))
-    sol = registry_solve(lp, method="hsd")
+    sol = registry_solve(lp, method="hsd", config=BENCH_CFG)
     return [(name, sol.status, sol.primal_obj, sol.iterations)]
 
 
@@ -281,6 +285,11 @@ def save_state(st: dict) -> None:
 # than burning its budget on known-failing 10-minute compiles.  The same
 # problems carry honest error rows in evaluate/r4.
 HBM_OOM_XL = {"DFL001", "KEN-11", "PDS-06", "FIT2P"}
+
+# bench solves run the primary production path; quality-gate retry
+# chains belong to the evaluate/ correctness trees, not the timed region
+from vanderbei_tpu.core.config import SolverConfig  # noqa: E402
+BENCH_CFG = SolverConfig(quality_retries=False)
 
 
 def main():

@@ -81,6 +81,13 @@ class SolverConfig:
     xl_chunk_dim: int = 2048
     xl_chunk_iters: int = 5
 
+    # quality-gate retries (registry.solve): on a SUBOPTIMAL verdict,
+    # re-solve unscaled, then cross-check with intpt.  Disable for
+    # throughput benchmarking — the primary path's honest status IS the
+    # measurement there, and a GREENBEA-class retry chain costs ~1000 s
+    # per rep
+    quality_retries: bool = True
+
     # Schur-eliminate singleton upper-bound rows from the KKT factor
     # (ops/kkt.UbTail).  Disable to force the fully dense canonical system.
     use_ub_structure: bool = True

@@ -444,7 +444,7 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
             f"not {method!r}")
     kw = {"mesh": mesh} if mesh is not None else {}
     status, x, y, w, z, iters = get_solver(method)(canon, cfg, **kw)
-    if (method in ("hsd", "hsdls") and mesh is None
+    if (method in ("hsd", "hsdls") and mesh is None and cfg.quality_retries
             and int(np.asarray(status)) == int(Status.SUBOPTIMAL)):
         # the HSD quality gate (models/hsd.py) flagged a converged-but-
         # poor de-homogenized point (gap, complementarity, or feasibility
@@ -472,7 +472,7 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
                 status, x, y, w, z = st2, x2, y2, w2, z2
                 iters = int(np.asarray(iters)) + int(np.asarray(it2))
                 canon = canon2
-    if (method in ("hsd", "hsdls") and mesh is None
+    if (method in ("hsd", "hsdls") and mesh is None and cfg.quality_retries
             and int(np.asarray(status)) == int(Status.SUBOPTIMAL)
             and canon.m * canon.n <= 100_000_000):
         # second retry: cross-check with the second algorithm family —
