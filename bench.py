@@ -80,7 +80,7 @@ REF_TIMES_COMMITTED = os.path.join(
 # wall budget for the WHOLE script; reps degrade 5 -> 1 to fit it, and
 # resume state persists across the crash re-exec so a worker fault costs
 # one class, not the run (r3: rc=124 because a crash restarted everything)
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 STATE_PATH = "/tmp/bench_state_r4.json"
 
 
