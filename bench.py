@@ -67,7 +67,7 @@ from vanderbei_tpu.io import netlib  # noqa: E402
 from vanderbei_tpu.models.registry import size_class  # noqa: E402
 from vanderbei_tpu.parallel import batch as pbatch  # noqa: E402
 
-MAX_BATCH = 1024      # batched-path cap; larger problems solve per-problem
+MAX_BATCH = 2048      # batched-path cap; larger problems solve per-problem
 GRAN = 512            # batched-class granularity (few compiles, good fill)
 N_REP_MAX = 5
 F32_PEAK_TFLOPS = 200.0   # v5e-class single-chip ceiling for the sanity check
@@ -81,7 +81,11 @@ REF_TIMES_COMMITTED = os.path.join(
 # resume state persists across the crash re-exec so a worker fault costs
 # one class, not the run (r3: rc=124 because a crash restarted everything)
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
-STATE_PATH = "/tmp/bench_state_r4.json"
+STATE_PATH = "/tmp/bench_state_r5.json"
+# per-problem + per-class detail lands here (committed artifact), so the
+# driver's tail capture only ever needs the compact LAST line
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
 
 def class_tag(key) -> str:
@@ -207,12 +211,12 @@ def solve_class(key, entries, jiggle, rng):
     canons = [canon for _, _, canon in entries]
     if structured:
         _, M1, N, K = key
-        A, b, c, ub = pbatch.stack_class_structured(
+        A, b, c, ub = pbatch.stack_class_structured_device(
             [(None, canon) for canon in canons], M1, N, K)
         ub = jax.tree.map(jnp.asarray, ub)
     else:
         _, M, N = key
-        A, b, c = pbatch.stack_class(
+        A, b, c = pbatch.stack_class_device(
             [(None, canon) for canon in canons], M, N)
         ub = None
     if jiggle:
@@ -221,7 +225,7 @@ def solve_class(key, entries, jiggle, rng):
         b = b * (1.0 + 1e-9 * jiggle
                  * rng.uniform(0.5, 1.0, (b.shape[0], 1)))
     st, x, y, w, z, iters = pbatch.solve_batch_hsd(
-        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), ub=ub)
+        A, jnp.asarray(b), jnp.asarray(c), ub=ub)
     # REAL completion: fetch everything the practical path consumes
     st = np.asarray(st)
     x = np.asarray(x)
@@ -270,7 +274,7 @@ def load_state(sig: str) -> dict:
         pass
     return {"sig": sig, "warmup_done": False, "compile_s": 0.0,
             "rep_times": [], "records": None, "per_class": None,
-            "crash_counts": {}}
+            "crash_counts": {}, "t0_epoch": time.time()}
 
 
 def save_state(st: dict) -> None:
@@ -392,8 +396,9 @@ def main():
     rep_times = list(state["rep_times"])
     records = state["records"]
     per_class = state["per_class"]
+    t0_epoch = state.get("t0_epoch") or time.time()
     while len(rep_times) < N_REP_MAX:
-        used = time.perf_counter() - t_script0
+        used = time.time() - t0_epoch
         est = (np.median(rep_times) if rep_times
                else max(compile_s * 0.5, 30.0))
         if rep_times and used + est > BUDGET_S * 0.75:
@@ -476,10 +481,24 @@ def main():
     ref_total, ref_valid, ref_failed = time_reference(binary, names_all)
     if ref_total > 0 and ref_valid:
         base_ppm = 60.0 * len(ref_valid) / ref_total
+    # vs_baseline over the INTERSECTION: if some TPU-benched problems
+    # lack a valid (rc=0) baseline row, the TPU rate in the numerator is
+    # restricted to the same problem set (advisor r4: the r4 code divided
+    # an all-problems rate by a valid-rows-only rate)
     if base_ppm:
-        vs_baseline = ppm / base_ppm
+        tpu_ppm_valid = 60.0 * len(ref_valid) / elapsed
+        vs_baseline = tpu_ppm_valid / base_ppm
 
-    print(json.dumps({
+    detail = {
+        "classes": {class_tag(k): len(v) for k, v in classes.items()},
+        "big_problems": [n for n, _ in big],
+        "per_class_final_rep": per_class,
+        "records_final_rep": [list(r) for r in records],
+        "mismatches": mismatches,
+        "rep_times_s": [round(t, 3) for t in rep_times],
+        "excluded": sorted(excludes),
+    }
+    headline = {
         "metric": "netlib_problems_per_min",
         "value": round(ppm, 3),
         "unit": "problems/min",
@@ -487,9 +506,9 @@ def main():
         "n_problems": n_problems,
         "optimal": solved,
         "objective_match_1e6": correct,
-        "mismatches": mismatches,
+        "n_mismatch": len(mismatches),
         "elapsed_s_median": round(elapsed, 3),
-        "rep_times_s": [round(t, 3) for t in rep_times],
+        "n_reps": len(rep_times),
         "total_ipm_iterations": total_iters,
         "ipm_iterations_per_s": round(iters_per_s, 1),
         "kkt_ms_per_chip": round(kkt_ms, 2),
@@ -500,12 +519,19 @@ def main():
         "baseline_problems_per_min": round(base_ppm, 3) if base_ppm else None,
         "baseline_n_valid": len(ref_valid),
         "baseline_n_failed": ref_failed,
-        "classes": {class_tag(k): len(v) for k, v in classes.items()},
-        "big_problems": [n for n, _ in big],
-        "per_class_final_rep": per_class,
-        "excluded": sorted(excludes),
+        "baseline_partial": len(ref_valid) != n_problems,
+        "n_excluded": len(excludes),
         "backend": jax.default_backend(),
-    }))
+    }
+    # detail (with the headline embedded) is a COMMITTED artifact; the
+    # stdout tail the driver captures carries only the compact headline,
+    # as its LAST line (BENCH_r04.json lost the r4 number to truncation)
+    try:
+        with open(DETAIL_PATH, "w") as fp:
+            json.dump(dict(headline=headline, **detail), fp, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -74,11 +74,14 @@ class SolverConfig:
     # full f64 — the f32 factor + f32 M formation removes the dominant
     # (A1*D)@A1' f64 gemm entirely
     xl_f32factor_elems: int = 60_000_000
-    # XL solves chunk their while_loop launches unconditionally: one
-    # launch must stay under the remote worker's watchdog even when every
-    # iteration pays a full Tikhonov escalation (see
-    # registry._deadline_iter_budget; GREENBEA-class crash root cause)
-    xl_chunk_dim: int = 2048
+    # XL solves chunk their while_loop launches tightly: one launch must
+    # stay under the remote worker's watchdog even when every iteration
+    # pays a Tikhonov escalation (registry._deadline_iter_budget;
+    # GREENBEA-class crash root cause).  Below this dim, chunks are
+    # 25-50 iterations — the sticky state-carried reg (kkt_factor reg0)
+    # bounds the per-iteration worst case that forced 5-iteration chunks
+    # at 2048 in r4
+    xl_chunk_dim: int = 6144
     xl_chunk_iters: int = 5
 
     # quality-gate retries (registry.solve): on a SUBOPTIMAL verdict,

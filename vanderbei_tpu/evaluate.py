@@ -214,7 +214,7 @@ def run_sweep_batched(method: str = "hsd", out_dir: str | None = None,
                       names: list[str] | None = None,
                       config: SolverConfig | None = None,
                       progress: bool = True,
-                      max_batch: int = 1024, granularity: int = 512,
+                      max_batch: int = 2048, granularity: int = 512,
                       time_limit: float | None = None):
     """Corpus sweep through the BATCHED production path.
 
@@ -236,6 +236,11 @@ def run_sweep_batched(method: str = "hsd", out_dir: str | None = None,
     if names is None:
         names = netlib.available_problems()
     cfg = config or SolverConfig()
+    if time_limit:
+        # one budget for EVERY solve this sweep makes: batched class
+        # solves, in-class rescues, and per-problem fallbacks (advisor
+        # r4: only the fallbacks saw --time-limit)
+        cfg = cfg.with_(time_limit=float(time_limit))
     ref = reference_outcomes(method)
     records = []
 
@@ -344,12 +349,12 @@ def _solve_batched_class(method, key, entries, small_names, small_lps, cfg,
     if method in ("hsd", "hsdls"):
         if structured:
             _, M1, N, K = key
-            A, b, c, ub = pbatch.stack_class_structured(
+            A, b, c, ub = pbatch.stack_class_structured_device(
                 [(None, canon) for canon in canons], M1, N, K)
             ub = jax.tree.map(jnp.asarray, ub)
         else:
             M, N = key[-2], key[-1]
-            A, b, c = pbatch.stack_class(
+            A, b, c = pbatch.stack_class_device(
                 [(None, canon) for canon in canons], M, N)
             ub = None
         st, x, y, w, z, iters = pbatch.solve_batch_hsd(
@@ -358,7 +363,7 @@ def _solve_batched_class(method, key, entries, small_names, small_lps, cfg,
             corrector=cfg.hsd_corrector)
     elif method == "intpt":
         M, N = key[-2], key[-1]
-        A, b, c = pbatch.stack_class(
+        A, b, c = pbatch.stack_class_device(
             [(None, canon) for canon in canons], M, N)
         st, x, y, w, z, iters = pbatch.solve_batch_intpt(
             jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
@@ -366,7 +371,7 @@ def _solve_batched_class(method, key, entries, small_names, small_lps, cfg,
             gap_floor=1.0e-2 if cfg.scale != "none" else 1.0)
     elif method == "pd":
         M, N = key[-2], key[-1]
-        A, b, c = pbatch.stack_class(
+        A, b, c = pbatch.stack_class_device(
             [(None, canon) for canon in canons], M, N)
         st, x, y, w, z, iters = pbatch.solve_batch_pd(
             jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
@@ -537,7 +542,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch", action="store_true",
                    help="solve small/mid problems through the batched "
                         "vmapped path (one compile+launch per size class)")
-    p.add_argument("--max-batch", type=int, default=1024,
+    p.add_argument("--max-batch", type=int, default=2048,
                    help="largest size class (both dims) to batch")
     p.add_argument("--granularity", type=int, default=512,
                    help="batched size-class rounding")

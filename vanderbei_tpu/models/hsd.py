@@ -64,6 +64,11 @@ class HsdState(NamedTuple):
     psi: jax.Array
     iter: jax.Array
     status: jax.Array
+    # sticky Tikhonov level of the KKT factor (ops/kkt.kkt_factor reg0):
+    # the reference's epsdiag escalation persists once triggered
+    # (ldlt.c:293-306); carrying it avoids re-paying the NaN-retry ladder
+    # every iteration on degenerate endgames
+    reg: jax.Array = None
 
 
 def _hsd_linesearch(v, dv, s, ds, beta, delta, mu):
@@ -102,14 +107,19 @@ def init_state(A, extra_rows: int = 0) -> HsdState:
     return HsdState(jnp.ones((n,), dtype), jnp.ones((n,), dtype),
                     jnp.ones((m,), dtype), jnp.ones((m,), dtype),
                     one, one, jnp.asarray(0),
-                    jnp.asarray(int(Status.RUNNING)))
+                    jnp.asarray(int(Status.RUNNING)),
+                    jnp.zeros((), dtype))
 
 
 def cast_state(state: HsdState, dtype) -> HsdState:
-    """Promote/demote a paused state between precision stages."""
+    """Promote/demote a paused state between precision stages.
+
+    The sticky factor regularization resets to 0: it is calibrated to the
+    OLD precision's unit roundoff (an f32-stage level of 1e-7 would wreck
+    f64 factor accuracy)."""
     return HsdState(
         *(leaf.astype(dtype) for leaf in state[:6]),
-        state.iter, state.status)
+        state.iter, state.status, jnp.zeros((), dtype))
 
 
 def make_step(A, b, c, *,
@@ -246,7 +256,7 @@ def make_step(A, b, c, *,
             E = w / y
 
             fac = kkt_factor(A, E, D, epsdiag, factor_dtype=factor_dtype,
-                             ub=ub)
+                             ub=ub, reg0=s.reg)
 
             def directions(dlt, so_x, so_y, so_phi, gy, gx, fy, fx):
                 """Fold a (delta, second-order) Newton system through the
@@ -349,13 +359,32 @@ def make_step(A, b, c, *,
 
             return (x + theta * dx, z + theta * dz,
                     y + theta * dy, w + theta * dw,
-                    phi + theta * dphi, psi + theta * dpsi)
+                    phi + theta * dphi, psi + theta * dpsi,
+                    fac.reg.astype(dtype))
 
         keep = new_status != int(Status.RUNNING)
-        x2, z2, y2, w2, phi2, psi2 = jax.lax.cond(
-            keep, lambda _: (x, z, y, w, phi, psi), step, operand=None)
+        x2, z2, y2, w2, phi2, psi2, reg2 = jax.lax.cond(
+            keep, lambda _: (x, z, y, w, phi, psi, s.reg), step,
+            operand=None)
 
-        return HsdState(x2, z2, y2, w2, phi2, psi2, s.iter + 1, new_status)
+        # numerical-failure guard: if the step produced any non-finite
+        # value, KEEP the last finite iterate and stop SUBOPTIMAL
+        # (hsdls.c:151's "suboptimal/numerical" status) — an
+        # iteration-limit or failure exit must report a finite objective
+        # like every reference table row does (r4: 80BAU3B/PILOT carried
+        # status=5 with objective=nan)
+        ok = (jnp.isfinite(phi2) & jnp.isfinite(psi2)
+              & jnp.all(jnp.isfinite(x2)) & jnp.all(jnp.isfinite(z2))
+              & jnp.all(jnp.isfinite(y2)) & jnp.all(jnp.isfinite(w2)))
+
+        def pick(new, old):
+            return jnp.where(ok, new, old)
+
+        return HsdState(pick(x2, x), pick(z2, z), pick(y2, y),
+                        pick(w2, w), pick(phi2, phi), pick(psi2, psi),
+                        s.iter + 1,
+                        jnp.where(ok, new_status, int(Status.SUBOPTIMAL)),
+                        reg2)
 
     return body
 

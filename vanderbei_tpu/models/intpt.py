@@ -51,6 +51,8 @@ class IntptState(NamedTuple):
     status: jax.Array
     normr0: jax.Array
     norms0: jax.Array
+    # sticky KKT Tikhonov level (see models/hsd.HsdState.reg)
+    reg: jax.Array = None
 
 
 def init_state(A) -> IntptState:
@@ -61,14 +63,16 @@ def init_state(A) -> IntptState:
     return IntptState(
         jnp.full((n,), 1000.0, dtype), jnp.full((n,), 1000.0, dtype),
         jnp.full((m,), 1000.0, dtype), jnp.full((m,), 1000.0, dtype),
-        jnp.asarray(0), jnp.asarray(int(Status.RUNNING)), inf, inf)
+        jnp.asarray(0), jnp.asarray(int(Status.RUNNING)), inf, inf,
+        jnp.zeros((), dtype))
 
 
 def cast_state(state: IntptState, dtype) -> IntptState:
     return IntptState(
         *(leaf.astype(dtype) for leaf in state[:4]),
         state.iter, state.status,
-        state.normr0.astype(dtype), state.norms0.astype(dtype))
+        state.normr0.astype(dtype), state.norms0.astype(dtype),
+        jnp.zeros((), dtype))
 
 
 def _ratio_step(x, dx, z, dz, y, dy, w, dw, r):
@@ -156,7 +160,7 @@ def _intpt_loop(A, b, c, f, Q, init: IntptState, *,
             D = z / x
             E = w / y
             L = kkt_factor(A, E, D, epsdiag, Q=Qq,
-                           factor_dtype=factor_dtype)
+                           factor_dtype=factor_dtype, reg0=s.reg)
             rhs_x = sigma - z + mu / x
             rhs_y = rho + w - mu / y
             dy, dx = kkt_solve(A, E, D, L, rhs_y, rhs_x, Q=Qq,
@@ -166,14 +170,26 @@ def _intpt_loop(A, b, c, f, Q, init: IntptState, *,
             dw = mu / y - w - E * dy
             theta = _ratio_step(x, dx, z, dz, y, dy, w, dw, step_factor)
             return (x + theta * dx, z + theta * dz,
-                    y + theta * dy, w + theta * dw)
+                    y + theta * dy, w + theta * dw,
+                    L.reg.astype(dtype))
 
         keep = new_status != int(Status.RUNNING)
-        x2, z2, y2, w2 = jax.lax.cond(
-            keep, lambda _: (x, z, y, w), step, operand=None)
+        x2, z2, y2, w2, reg2 = jax.lax.cond(
+            keep, lambda _: (x, z, y, w, s.reg), step, operand=None)
 
-        return IntptState(x2, z2, y2, w2, s.iter + 1, new_status,
-                          normr, norms)
+        # numerical-failure guard (see models/hsd.py): keep the last
+        # finite iterate rather than propagating NaN into the verdict
+        ok = (jnp.all(jnp.isfinite(x2)) & jnp.all(jnp.isfinite(z2))
+              & jnp.all(jnp.isfinite(y2)) & jnp.all(jnp.isfinite(w2)))
+
+        def pick(new, old):
+            return jnp.where(ok, new, old)
+
+        return IntptState(pick(x2, x), pick(z2, z), pick(y2, y),
+                          pick(w2, w), s.iter + 1,
+                          jnp.where(ok, new_status,
+                                    int(Status.SUBOPTIMAL)),
+                          normr, norms, reg2)
 
     return jax.lax.while_loop(cond, body, init)
 

@@ -63,28 +63,34 @@ def _deadline_iter_budget(cfg: SolverConfig, max_iter: int,
     """Chunked iteration budgets honoring cfg.time_limit (TIMLIM header).
 
     max_iter is a traced scalar to the loops, so chunking costs no
-    recompiles; with no time limit this is a single full-budget chunk —
-    EXCEPT for XL factored dims, which chunk unconditionally: the remote
-    worker kills launches that run past its watchdog, and one XL
-    iteration with a full Tikhonov escalation (7 re-factorizations,
-    kkt_factor) can take ~15 s, so a 25-iteration launch on a degenerate
-    instance (GREENBEA class) exceeds the watchdog and reports
-    "TPU worker crashed".  VANDERBEI_CHUNK overrides (bisection knob).
+    recompiles.  Chunk size scales with the factored dim so one launch
+    stays safely under the remote worker's watchdog even when every
+    iteration pays a Tikhonov escalation (kkt_factor; the sticky state-
+    carried reg makes that ~1 extra factorization per iteration, not 7):
+
+        dim <  3072  ->  chunk 50   (~0.2 s/iter f64 worst case)
+        dim <  xl_chunk_dim (6144 default) -> chunk 25
+        dim >= xl_chunk_dim -> cfg.xl_chunk_iters (5): a 6k+ f64 factor
+                               alone is ~3 s/iteration
+
+    A chunk boundary costs two scalar fetches (~50 ms through the
+    tunnel), so mid-size solves pay 1-2 boundaries, not the r4 design's
+    one-boundary-every-5-iterations.  VANDERBEI_CHUNK overrides
+    (bisection knob).
     """
     import os
     env = os.environ.get("VANDERBEI_CHUNK")
-    base = int(env) if env else 25
-    if not np.isfinite(cfg.time_limit):
-        if dim >= cfg.xl_chunk_dim or env:
-            chunk = max(1, min(base if env else cfg.xl_chunk_iters,
-                               max_iter))
-            return ([chunk] * ((max_iter + chunk - 1) // chunk), None)
-        return [max_iter], None
-    chunk = max(1, min(base, max_iter))
-    if dim >= cfg.xl_chunk_dim:
-        chunk = max(1, min(chunk, cfg.xl_chunk_iters))
-    return ([chunk] * ((max_iter + chunk - 1) // chunk),
-            time.monotonic() + cfg.time_limit)
+    if env:
+        chunk = max(1, min(int(env), max_iter))
+    elif dim >= cfg.xl_chunk_dim:
+        chunk = max(1, min(cfg.xl_chunk_iters, max_iter))
+    elif dim >= 3072:
+        chunk = min(25, max_iter)
+    else:
+        chunk = min(50, max_iter)
+    deadline = (None if not np.isfinite(cfg.time_limit)
+                else time.monotonic() + cfg.time_limit)
+    return ([chunk] * ((max_iter + chunk - 1) // chunk), deadline)
 
 
 def resolve_precision(cfg: SolverConfig, shape) -> str:
@@ -126,19 +132,27 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
     if precision == "mixed":
         args32 = mk_args32()
         state = init_for(args32)
+        done = 0
         for budget in chunks:
             state = run_stage(args32, state, budget, stage_knob, None)
             st = int(np.asarray(state.status))
-            if (st != int(Status.RUNNING)
-                    or int(np.asarray(state.iter)) >= max_iter):
+            it = int(np.asarray(state.iter))
+            if st != int(Status.RUNNING) or it >= max_iter:
                 break
             if deadline is not None and time.monotonic() > deadline:
                 break
-            # stage boundary reached?  (pause exits with status RUNNING)
-            if _stage_done(solver_mod, args32[0], state, stage_knob):
+            # pause detection WITHOUT fetching the state vectors: the
+            # device loop exits early (iter < chunk budget) only when
+            # mu <= pause_mu — the stage boundary
+            if it < done + budget:
                 break
-        if not _check_finite(state):
-            state = None        # f32 diverged: restart clean in f64
+            done = it
+        if (not _check_finite(state)
+                or int(np.asarray(state.status)) == int(Status.SUBOPTIMAL)):
+            # f32 diverged (the device-side finiteness guard stops the
+            # sprint SUBOPTIMAL at the last finite iterate): restart
+            # clean in f64 rather than polishing a wandered point
+            state = None
         else:
             state = solver_mod.cast_state(state, jnp.float64)
             warm = True
@@ -169,31 +183,20 @@ def _run_staged(solver_mod, run_stage, cfg: SolverConfig, max_iter: int,
     return state
 
 
-def _stage_done(solver_mod, A, state, knob: float) -> bool:
-    # derive dims from the state vectors, not A: on the structured (UbTail)
-    # path A is only the head block while y spans head + tail rows, and the
-    # device pause condition divides by the full n+m+1
-    m, n = len(state.y), len(state.x)
-    if solver_mod is _hsd:
-        mu = (np.asarray(state.z) @ np.asarray(state.x)
-              + np.asarray(state.w) @ np.asarray(state.y)
-              + float(np.asarray(state.phi)) * float(np.asarray(state.psi))
-              ) / (n + m + 1)
-        return mu <= knob
-    gap = (np.asarray(state.z) @ np.asarray(state.x)
-           + np.asarray(state.y) @ np.asarray(state.w))
-    return gap <= knob
-
-
 def _solve_intpt(canon: CanonLP, cfg: SolverConfig):
     max_iter = cfg.max_iter or _intpt.DEFAULT_MAX_ITER
     trace = cfg.verbose >= 2
     if trace:
         print(_intpt.INTPT_BANNER, flush=True)
     has_q = canon.Q is not None
+    # ship A sparse once (COO scatter on device, ops/assemble) and derive
+    # the f32 stage by a device-side cast: the tunnel moves ~20 MB/s, so
+    # re-shipping dense operands per precision stage dominated solve time
+    from ..ops.assemble import device_dense
+    A_dev = device_dense(canon.A, dtype=canon.A.dtype)
 
     def mk(dtype):
-        A = jnp.asarray(canon.A, dtype)
+        A = A_dev if A_dev.dtype == dtype else jnp.asarray(A_dev, dtype)
         Q = jnp.asarray(canon.Q, dtype) if has_q else None
         return (A, jnp.asarray(canon.b, dtype), jnp.asarray(canon.c, dtype),
                 Q)
@@ -321,18 +324,28 @@ def _solve_hsd(canon: CanonLP, cfg: SolverConfig, long_step=False,
     struct = (_hsd_structured_operands(canon)
               if cfg.use_ub_structure else None)
 
+    # ship the head operand sparse ONCE and cast device-side for the f32
+    # stage (ops/assemble; the tunnel's ~20 MB/s made dense re-shipping
+    # the dominant per-problem cost)
+    from ..ops.assemble import device_dense
     if struct is None:
+        A_dev = device_dense(canon.A, dtype=canon.A.dtype)
+
         def mk(dtype):
-            args = (jnp.asarray(canon.A, dtype),
-                    jnp.asarray(canon.b, dtype),
+            A = (A_dev if A_dev.dtype == dtype
+                 else jnp.asarray(A_dev, dtype))
+            args = (A, jnp.asarray(canon.b, dtype),
                     jnp.asarray(canon.c, dtype), None)
             return _place_tp(args, mesh) if mesh is not None else args
         shape = canon.A.shape
     else:
+        A1_dev = device_dense(struct["A1"], dtype=struct["A1"].dtype)
+
         def mk(dtype):
             from ..ops.kkt import UbTail
-            args = (jnp.asarray(struct["A1"], dtype),
-                    jnp.asarray(struct["b"], dtype),
+            A1 = (A1_dev if A1_dev.dtype == dtype
+                  else jnp.asarray(A1_dev, dtype))
+            args = (A1, jnp.asarray(struct["b"], dtype),
                     jnp.asarray(struct["c"], dtype),
                     UbTail(jnp.asarray(struct["idx2"]),
                            jnp.asarray(struct["w2"], dtype)))
@@ -466,6 +479,13 @@ def solve(lp: LP, method: str = "hsd", config: SolverConfig | None = None,
                     cfg.use_ub_structure and _hsd_structure_applies(canon2)):
                 canon2 = pad_canon(canon2, size_class(canon2.m),
                                    size_class(canon2.n))
+            elif isinstance(pad_to, int) and pad_to != 1:
+                # keep the caller's padding on the retry too (advisor r4:
+                # an explicit pad_to fell back to exact dims here, losing
+                # executable sharing)
+                canon2 = pad_canon(canon2,
+                                   -(-canon2.m // pad_to) * pad_to,
+                                   -(-canon2.n // pad_to) * pad_to)
             st2, x2, y2, w2, z2, it2 = get_solver(method)(
                 canon2, cfg.with_(scale="none"), **kw)
             if int(np.asarray(st2)) == int(Status.OPTIMAL):

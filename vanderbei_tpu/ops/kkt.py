@@ -111,10 +111,11 @@ class KKTFactor(NamedTuple):
     s: jax.Array
     g2: jax.Array = None
     Winv: jax.Array = None   # diag-block inverses when L is a blocked Loff
+    reg: jax.Array = None    # Tikhonov level the factor ended at (see below)
 
 
 def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
-               ub: UbTail | None = None):
+               ub: UbTail | None = None, reg0=None):
     """Cholesky-factor the reduced normal-equations matrix.
 
     E, D are clamped below by epsdiag like the reference clamps K's
@@ -128,6 +129,14 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
     the reference escalates its diagonal perturbation 10x when the factor
     degenerates (ldlt.c:293-306).  Dense analogue: retry the Cholesky with
     a geometrically growing Tikhonov term until the factor is NaN-free.
+
+    reg0: traced scalar seeding the escalation — the level the PREVIOUS
+    iteration's factor needed (carried in the solver state, mirroring the
+    reference's STICKY epsdiag escalation which persists for the rest of
+    the solve).  Without it a degenerate endgame re-pays the whole
+    NaN-retry ladder (up to ~7 sequential refactorizations) every
+    iteration (GREENBEA class, r4).  The achieved level is returned in
+    KKTFactor.reg.
     """
     m, n = A.shape
     epsdiag = jnp.asarray(epsdiag, A.dtype)
@@ -193,11 +202,13 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
         Ms = Ms.astype(factor_dtype)
     eye = jnp.eye(M.shape[0], dtype=Ms.dtype)
     floor = 1.0e-14 if Ms.dtype == jnp.float64 else 1.0e-7
+    r0 = (jnp.zeros((), Ms.dtype) if reg0 is None
+          else jnp.asarray(reg0, Ms.dtype))
 
     if _use_blocked(Ms.dtype):
         # gemm-built blocked factor (see ops/blocked.py): same NaN
         # propagation on indefinite input, same Tikhonov escalation
-        L0 = blocked_cholesky(Ms)
+        L0 = blocked_cholesky(Ms + r0 * eye)
 
         def bad_b(f):
             # NaN OR Inf, matching the dense path's `bad`: a tiny subnormal
@@ -215,11 +226,10 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
                                 reg * 100.0).astype(Ms.dtype)
             return new_reg, blocked_cholesky(Ms + new_reg * eye)
 
-        _, fb = jax.lax.while_loop(cond_b, body_b,
-                                   (jnp.zeros((), Ms.dtype), L0))
-        return KKTFactor(fb.Loff, s, g2, fb.Winv)
+        reg, fb = jax.lax.while_loop(cond_b, body_b, (r0, L0))
+        return KKTFactor(fb.Loff, s, g2, fb.Winv, reg)
 
-    L0 = jnp.linalg.cholesky(Ms)
+    L0 = jnp.linalg.cholesky(Ms + r0 * eye)
 
     def bad(L):
         return jnp.any(jnp.isnan(L) | jnp.isinf(L))
@@ -233,8 +243,8 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
         new_reg = jnp.where(reg == 0.0, floor, reg * 100.0).astype(Ms.dtype)
         return new_reg, jnp.linalg.cholesky(Ms + new_reg * eye)
 
-    _, L = jax.lax.while_loop(cond, body, (jnp.zeros((), Ms.dtype), L0))
-    return KKTFactor(L, s, g2)
+    reg, L = jax.lax.while_loop(cond, body, (r0, L0))
+    return KKTFactor(L, s, g2, None, reg)
 
 
 def _scaled_cho_solve(fac: KKTFactor, t):

@@ -94,6 +94,50 @@ def stack_class(entries, mp: int, np_: int, dtype=np.float64):
     return A, b, c
 
 
+def stack_class_device(entries, mp: int, np_: int, dtype=np.float64):
+    """stack_class, but the (B, mp, np_) operand is assembled ON DEVICE
+    from one concatenated COO shipment (ops/assemble.device_dense_batch) —
+    the ~20 MB/s tunnel made dense stacked shipping the dominant cost of
+    a batched class solve.  b and c ship dense (they are small)."""
+    from ..ops.assemble import device_dense_batch
+    import jax.numpy as jnp
+    B = len(entries)
+    blocks = []
+    b = np.ones((B, mp), dtype=dtype)
+    c = np.zeros((B, np_), dtype=dtype)
+    for k, (_, canon) in enumerate(entries):
+        m, n = canon.m, canon.n
+        blocks.append(np.asarray(canon.A[:m, :n], dtype))
+        b[k, :m] = canon.b[:m]
+        c[k, :n] = canon.c[:n]
+    A = device_dense_batch(blocks, B, mp, np_, dtype)
+    return A, b, c
+
+
+def stack_class_structured_device(entries, M1: int, N: int, K: int,
+                                  dtype=np.float64):
+    """stack_class_structured with the (B, M1, N) head assembled on
+    device from one COO shipment (see stack_class_device)."""
+    from ..models.registry import _hsd_structured_operands
+    from ..ops.assemble import device_dense_batch
+    B = len(entries)
+    blocks = []
+    b = np.ones((B, M1 + K), dtype=dtype)
+    c = np.zeros((B, N), dtype=dtype)
+    idx2 = np.zeros((B, K), dtype=np.int32)
+    w2 = np.zeros((B, K), dtype=dtype)
+    for j, (_, canon) in enumerate(entries):
+        s = _hsd_structured_operands(canon, M1=M1, K=K, N=N)
+        assert s is not None, "structured class entry lost its structure"
+        blocks.append(np.asarray(s["A1"], dtype))
+        b[j] = s["b"]
+        c[j] = s["c"]
+        idx2[j] = s["idx2"]
+        w2[j] = s["w2"]
+    A1 = device_dense_batch(blocks, B, M1, N, dtype)
+    return A1, b, c, UbTail(idx2, w2)
+
+
 def stack_class_structured(entries, M1: int, N: int, K: int,
                            dtype=np.float64):
     """Stack a STRUCTURED size class: head A1 (B, M1, N), b (B, M1+K),
@@ -193,8 +237,12 @@ def solve_batch_hsd(A, b, c, *,
                         st, pause_mu=stage1_mu, factor_dtype=None,
                         ub=cast_ub(jnp.float32), **knobs32)
         st = _hsd.cast_state(st, jnp.float64)
-        # lanes that went non-finite in f32 restart clean in f64
-        finite = jnp.all(jnp.isfinite(st.x), axis=1) & jnp.isfinite(st.phi)
+        # lanes that diverged in f32 restart clean in f64 (the device
+        # finiteness guard stops such lanes SUBOPTIMAL at the last
+        # finite iterate, so check status as well as values)
+        finite = (jnp.all(jnp.isfinite(st.x), axis=1)
+                  & jnp.isfinite(st.phi)
+                  & (st.status != int(Status.SUBOPTIMAL)))
         fresh = _batch_init(A.astype(jnp.float64), ub)
         st = jax.tree.map(
             lambda warm, cold: jnp.where(
@@ -270,7 +318,8 @@ def solve_batch_intpt(A, b, c, *,
             jnp.maximum(epsdiag, 1e-8), jnp.maximum(refine_tol, 1e-4),
             False))(A32, b.astype(jnp.float32), c.astype(jnp.float32), st)
         st = _intpt.cast_state(st, jnp.float64)
-        finite = jnp.all(jnp.isfinite(st.x), axis=1)
+        finite = (jnp.all(jnp.isfinite(st.x), axis=1)
+                  & (st.status != int(Status.SUBOPTIMAL)))
         fresh = jax.vmap(_intpt.init_state)(A)
         st = jax.tree.map(
             lambda warm, cold: jnp.where(
