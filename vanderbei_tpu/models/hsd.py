@@ -40,6 +40,7 @@ from ..ops.kkt import kkt_factor, kkt_solve, UbTail, tail_matvec, tail_rmatvec
 
 DEFAULT_MAX_ITER = 200      # hsd.c:25
 DEFAULT_MAX_ITER_LS = 600   # hsdls.c:25
+STALL_LIMIT = 15            # consecutive non-improving iterations -> stop
 
 HSD_BANNER = (
     "--------------------------------------------------------------------------\n"
@@ -69,6 +70,15 @@ class HsdState(NamedTuple):
     # (ldlt.c:293-306); carrying it avoids re-paying the NaN-retry ladder
     # every iteration on degenerate endgames
     reg: jax.Array = None
+    # stall detector: best mu seen and consecutive non-improving
+    # iterations.  A degenerate embedding (GREENBEA class) wanders for
+    # 100+ iterations before going non-finite; the reference burns its
+    # full 200-iteration budget there (its table rows say "iteration
+    # limit").  Stopping SUBOPTIMAL after `stall_limit` non-improving
+    # iterations reports the same honest outcome in a fraction of the
+    # wall, and the registry's retry chain still gets its shot.
+    mu_best: jax.Array = None
+    stall: jax.Array = None
 
 
 def _hsd_linesearch(v, dv, s, ds, beta, delta, mu):
@@ -108,7 +118,8 @@ def init_state(A, extra_rows: int = 0) -> HsdState:
                     jnp.ones((m,), dtype), jnp.ones((m,), dtype),
                     one, one, jnp.asarray(0),
                     jnp.asarray(int(Status.RUNNING)),
-                    jnp.zeros((), dtype))
+                    jnp.zeros((), dtype),
+                    jnp.asarray(jnp.inf, dtype), jnp.asarray(0))
 
 
 def cast_state(state: HsdState, dtype) -> HsdState:
@@ -116,10 +127,12 @@ def cast_state(state: HsdState, dtype) -> HsdState:
 
     The sticky factor regularization resets to 0: it is calibrated to the
     OLD precision's unit roundoff (an f32-stage level of 1e-7 would wreck
-    f64 factor accuracy)."""
+    f64 factor accuracy).  The stall counter resets too — the new
+    precision stage deserves a fresh chance to make progress."""
     return HsdState(
         *(leaf.astype(dtype) for leaf in state[:6]),
-        state.iter, state.status, jnp.zeros((), dtype))
+        state.iter, state.status, jnp.zeros((), dtype),
+        state.mu_best.astype(dtype), jnp.asarray(0))
 
 
 def make_step(A, b, c, *,
@@ -173,8 +186,12 @@ def make_step(A, b, c, *,
         base_mvT = lambda M, v: matvec2(M.T, v)
         dot = dot2
     else:
-        base_mv = lambda M, v: M @ v
-        base_mvT = lambda M, v: M.T @ v
+        # chunked products self-gate on operand size: at XL dims every
+        # f64 gemm against A materializes bf16 split-stack temps of the
+        # whole operand (the r4 HBM-OOM root cause); the scan bounds them
+        from ..ops.linalg import chunked_matvec, chunked_rmatvec
+        base_mv = chunked_matvec
+        base_mvT = chunked_rmatvec
         dot = lambda a, b: a @ b
     if ub is not None:
         m1 = A.shape[0]
@@ -242,7 +259,23 @@ def make_step(A, b, c, *,
             jnp.where(dual_obj < 0.0, int(Status.PRIMAL_INFEASIBLE),
                       jnp.where(primal_obj > 0.0, int(Status.DUAL_INFEASIBLE),
                                 fallback)))
-        new_status = jnp.where(converged, final, int(Status.RUNNING))
+        # stall detector (see HsdState.mu_best): STALL_LIMIT consecutive
+        # iterations without a 10% mu improvement -> stop now instead of
+        # wandering to the iteration limit / a NaN step.  A stall in the
+        # NEAR-CONVERGED zone (mu within ~1e3 of the stop tolerance —
+        # f64 roundoff simply cannot push mu further) takes the normal
+        # quality-gated verdict `final`: the de-homogenized point is
+        # often already optimal to tolerance (BNL2 stalls at relerr
+        # 2.4e-7), and the gate separates those from true failures.
+        improved = mu < 0.9 * s.mu_best
+        stall2 = jnp.where(improved, 0, s.stall + 1)
+        mu_best2 = jnp.minimum(s.mu_best, mu)
+        stalled = stall2 >= STALL_LIMIT
+        mu_small = mu < jnp.maximum(eps * 1.0e3, 1.0e-9)
+        new_status = jnp.where(
+            converged | (stalled & mu_small), final,
+            jnp.where(stalled, int(Status.SUBOPTIMAL),
+                      int(Status.RUNNING)))
 
         if trace:
             normr = jnp.sqrt(rho @ rho) / phi
@@ -384,7 +417,7 @@ def make_step(A, b, c, *,
                         pick(w2, w), pick(phi2, phi), pick(psi2, psi),
                         s.iter + 1,
                         jnp.where(ok, new_status, int(Status.SUBOPTIMAL)),
-                        reg2)
+                        reg2, mu_best2, stall2)
 
     return body
 

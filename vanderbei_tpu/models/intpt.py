@@ -115,11 +115,12 @@ def _intpt_loop(A, b, c, f, Q, init: IntptState, *,
                 & (gap > pause_gap))
 
     def body(s: IntptState):
+        from ..ops.linalg import chunked_matvec, chunked_rmatvec
         x, z, y, w = s.x, s.z, s.y, s.w
 
-        rho = b - A @ x - w                  # primal infeasibility
+        rho = b - chunked_matvec(A, x) - w   # primal infeasibility
         normr = jnp.sqrt(rho @ rho)
-        sigma = c - A.T @ y + z              # dual infeasibility
+        sigma = c - chunked_rmatvec(A, y) + z   # dual infeasibility
         if has_q:
             sigma = sigma - Qq @ x           # QP stationarity: c-Qx-A'y+z
         norms = jnp.sqrt(sigma @ sigma)

@@ -266,6 +266,7 @@ def _raw_solve(A, Ec, Dc, fac: KKTFactor, ry, rx, Q=None, ub=None):
 
     ry: (m, k), rx: (n, k) column-stacked right-hand sides."""
     m, n = A.shape
+    from .linalg import chunked_matvec, chunked_rmatvec
     if ub is not None:
         # Schur path: solve the m1 head, back out the diagonal tail
         m1 = m
@@ -276,20 +277,20 @@ def _raw_solve(A, Ec, Dc, fac: KKTFactor, ry, rx, Q=None, ub=None):
         t2 = w2 * rxD[ub.idx2] - ry[m1:]
         # t~1 = A1 (D^-1 rx - scatter(w2 D^-1[idx] t2 / g2)) - ry1
         fold = rxD.at[ub.idx2].add(-w2 * Dinv[ub.idx2] * t2 / g2)
-        t1 = A @ fold - ry[:m1]
+        t1 = chunked_matvec(A, fold) - ry[:m1]
         dy1 = _scaled_cho_solve(fac, t1)
-        aty = A.T @ dy1
+        aty = chunked_rmatvec(A, dy1)
         dy2 = (t2 - w2 * Dinv[ub.idx2] * aty[ub.idx2]) / g2
         dx = (rx - aty - jnp.zeros_like(rx).at[ub.idx2].add(w2 * dy2)) * Dinv
         return jnp.concatenate([dy1, dy2]), dx
     if use_primal_form(m, n, Q is not None):
-        t = A @ (rx / Dc[:, None]) - ry
+        t = chunked_matvec(A, rx / Dc[:, None]) - ry
         dy = _scaled_cho_solve(fac, t)
-        dx = (rx - A.T @ dy) / Dc[:, None]
+        dx = (rx - chunked_rmatvec(A, dy)) / Dc[:, None]
     else:
-        t = rx + A.T @ (ry / Ec[:, None])
+        t = rx + chunked_rmatvec(A, ry / Ec[:, None])
         dx = _scaled_cho_solve(fac, t)
-        dy = (A @ dx - ry) / Ec[:, None]
+        dy = (chunked_matvec(A, dx) - ry) / Ec[:, None]
     return dy, dx
 
 
@@ -328,8 +329,9 @@ def kkt_solve(A, E, D, L, rhs_y, rhs_x, *, Q=None,
         base_mv = col_mv2
         base_mvT = lambda M, v: col_mv2(M.T, v)
     else:
-        base_mv = lambda M, v: M @ v
-        base_mvT = lambda M, v: M.T @ v
+        from .linalg import chunked_matvec, chunked_rmatvec
+        base_mv = chunked_matvec
+        base_mvT = chunked_rmatvec
     if ub is not None:
         m1 = A.shape[0]
         mv = lambda M, v: jnp.concatenate([base_mv(M, v),

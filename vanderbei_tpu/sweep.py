@@ -91,6 +91,37 @@ def main(argv=None) -> int:
         rc, secs = run_chunk([name], args.method, args.out,
                              args.time_limit, extra, args.timeout)
         print(f"[sweep] retry {name} rc={rc} ({secs:.0f}s)", flush=True)
+
+    # REPAIR PASS (r4 lesson: a poisoned client wrote 23 consecutive
+    # error rows into the intpt tree inside an rc=0 chunk, and nothing
+    # re-ran them).  Any error row in the merged records gets one fresh
+    # single-problem process; a tree that stays majority-error FAILS the
+    # sweep so a driver cannot commit it as if it were results.
+    if args.out:
+        import json
+        rec_path = os.path.join(args.out, "netlib", args.method,
+                                "records.json")
+        err_rows = []
+        if os.path.exists(rec_path):
+            with open(rec_path) as fp:
+                recs = json.load(fp)
+            err_rows = [r["name"] for r in recs
+                        if r["status"] < 0 and r["name"] in names]
+        for name in err_rows:
+            rc, secs = run_chunk([name], args.method, args.out,
+                                 args.time_limit, extra, args.timeout)
+            print(f"[sweep] repair {name} rc={rc} ({secs:.0f}s)",
+                  flush=True)
+        if os.path.exists(rec_path):
+            with open(rec_path) as fp:
+                recs = json.load(fp)
+            still = [r["name"] for r in recs
+                     if r["status"] < 0 and r["name"] in names]
+            if len(still) > 0.5 * max(1, len(names)):
+                print(f"[sweep] FAILED: {len(still)}/{len(names)} rows "
+                      f"are error rows after repair — tree is NOT valid "
+                      f"results: {' '.join(still[:10])}...", flush=True)
+                return 1
     return 0
 
 
