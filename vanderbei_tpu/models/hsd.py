@@ -250,8 +250,17 @@ def make_step(A, b, c, *,
         # test normalizes by max|b|,|c| (ldlt.c:370-416 refinement target).
         pinf_rel = jnp.sqrt(dot(rho, rho)) / phi / (1.0 + jnp.sqrt(dot(b, b)))
         dinf_rel = jnp.sqrt(dot(sigma, sigma)) / phi / (1.0 + jnp.sqrt(dot(c, c)))
+        # objective-sensitivity signals: a residual that passes the
+        # norm-relative tests can still shift the OBJECTIVE by ~|y'rho|
+        # (resp. |x'sigma|) — GREENBEB r4 certified OPTIMAL at relerr
+        # 2.6e-5 exactly this way (tiny ||rho||/||b|| against large
+        # duals).  These dots bound the de-homogenized objective error
+        # directly, relative to the same scale as the gap test.
+        perr = jnp.abs(dot(y, rho)) / (phi * phi) / scale
+        derr = jnp.abs(dot(x, sigma)) / (phi * phi) / scale
         good = ((gap_rel <= gap_tol) & (comp_rel <= gap_tol)
-                & (pinf_rel <= feas_tol) & (dinf_rel <= feas_tol))
+                & (pinf_rel <= feas_tol) & (dinf_rel <= feas_tol)
+                & (perr <= 10.0 * gap_tol) & (derr <= 10.0 * gap_tol))
         fallback = int(Status.SUBOPTIMAL) if long_step else int(Status.DUAL_INFEASIBLE)
         final = jnp.where(
             opt_test,
