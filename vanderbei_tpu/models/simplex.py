@@ -165,7 +165,7 @@ def _chunked_loop(cond, body, state, refresh, refresh_every):
 @functools.partial(jax.jit,
                    static_argnames=("refresh_every", "trace"))
 def _pd_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
-             trace: bool = False):
+             trace: bool = False, init: PdState | None = None):
     m, N = Afull.shape
     n = N - m
     dtype = Afull.dtype
@@ -183,11 +183,15 @@ def _pd_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
     # originating vectors of the homotopy iterates: x_B = B^-1 b,
     # xbar_B = B^-1 xbar0, y_N = z_N(c), ybar_N = z_N(cbar) hold at EVERY
     # basis (the incremental pivot updates preserve them) — they are what
-    # the refactor recomputes exactly
+    # the refactor recomputes exactly.  They are derived deterministically
+    # from `key`, so a RESUMED launch (init != None, max_iter raised)
+    # reconstructs the same homotopy and continues the identical run —
+    # the chunked-launch mechanism keeping one launch under the remote
+    # worker's watchdog on high-pivot-count instances.
     xbar0 = xbar
     cbar = jnp.concatenate([-ybar, jnp.zeros((m,), dtype)])
 
-    state = PdState(
+    state = init if init is not None else PdState(
         Binv=jnp.eye(m, dtype=dtype),
         basics=jnp.arange(n, N, dtype=jnp.int32),
         nonbasics=jnp.arange(0, n, dtype=jnp.int32),
@@ -311,7 +315,7 @@ def _pd_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
     z = y_full[:n]
     y = y_full[n:]
     w = x_full[n:]
-    return status, x, y, w, z, out.iter
+    return status, x, y, w, z, out.iter, out
 
 
 # ---------------------------------------------------------------------------
@@ -479,7 +483,11 @@ def _twophase_loop(Afull, b, c, key, *, max_iter, refresh_every: int,
 # ---------------------------------------------------------------------------
 
 def _prepare(canon, cfg: SolverConfig):
-    A = jnp.asarray(canon.A, cfg.dtype)
+    import numpy as np
+    from ..ops.assemble import device_dense
+    # ship A sparse (COO scatter, ops/assemble) — the ~20 MB/s tunnel
+    # made dense operand shipping the dominant per-problem cost
+    A = device_dense(np.asarray(canon.A, cfg.dtype))
     m = A.shape[0]
     Afull = jnp.concatenate([A, jnp.eye(m, dtype=cfg.dtype)], axis=1)
     b = jnp.asarray(canon.b, cfg.dtype)
@@ -489,15 +497,42 @@ def _prepare(canon, cfg: SolverConfig):
     return Afull, b, c, key
 
 
+def _pd_chunk_budget(m: int) -> int:
+    """Pivots per launch: keeps one launch safely under the remote
+    worker's watchdog (per-pivot cost is bandwidth-bound in B^-1 (m^2)
+    and the (m x N) pricing row)."""
+    if m <= 1024:
+        return 20_000
+    if m <= 2560:
+        return 5_000
+    return 2_000
+
+
 def solve_canon_pd(canon, cfg: SolverConfig):
+    import numpy as np
+    import time as _time
     Afull, b, c, key = _prepare(canon, cfg)
     max_iter = cfg.max_iter or cfg.simplex_max_iter
     trace = cfg.verbose >= 2
     if trace:
         print(SIMPLEX_BANNER, flush=True)
-    return _pd_loop(Afull, b, c[: Afull.shape[1]], key,
-                    max_iter=max_iter, refresh_every=cfg.refresh_every,
-                    trace=trace)
+    m = Afull.shape[0]
+    chunk = _pd_chunk_budget(m)
+    deadline = (None if not np.isfinite(cfg.time_limit)
+                else _time.monotonic() + cfg.time_limit)
+    state = None
+    total = 0
+    while total < max_iter:
+        total = min(max_iter, total + chunk)
+        st, x, y, w, z, iters, state = _pd_loop(
+            Afull, b, c[: Afull.shape[1]], key,
+            max_iter=total, refresh_every=cfg.refresh_every,
+            trace=trace, init=state)
+        if int(np.asarray(st)) != int(Status.ITERATION_LIMIT):
+            break
+        if deadline is not None and _time.monotonic() > deadline:
+            break
+    return st, x, y, w, z, iters
 
 
 def solve_canon_twophase(canon, cfg: SolverConfig):

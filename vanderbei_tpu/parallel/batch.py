@@ -347,7 +347,9 @@ def solve_batch_pd(A, b, c, *, max_iter: int = 20000,
 
     def one(Ai, bi, ci, key):
         Afull = jnp.concatenate([Ai, eye], axis=1)
+        # drop the resume state (7th element): lanes have no per-lane
+        # chunk driver; the batched budget bounds the launch instead
         return _pd_loop(Afull, bi, ci, key, max_iter=max_iter,
-                        refresh_every=refresh_every)
+                        refresh_every=refresh_every)[:6]
 
     return jax.vmap(one)(A, b, c, keys)
