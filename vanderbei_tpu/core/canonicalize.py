@@ -103,19 +103,28 @@ def _geometric_equilibrate(A, m, n, passes=4):
     (x >= 0 is preserved by positive column scales) and is undone in
     recover_solution, so the user-visible problem is unchanged.
     """
+    # Operate on the NONZERO triples only: the dense formulation built
+    # four full (m, n) temporaries per pass (2.2 s of host time per
+    # KEN-07 canonicalization, paid every bench rep); the max/min over a
+    # row's positive entries equals the max/min over its nonzero
+    # magnitudes, so segment reductions over the COO values are exact.
+    rr, cc = np.nonzero(A[:m, :n])
+    av = np.abs(A[rr, cc])
     r = np.ones(m)
     s = np.ones(n)
-    Aw = np.abs(A[:m, :n])
-    def scale_pass(M, axis):
-        mx = M.max(axis=axis)
-        mn = np.where(M > 0, M, np.inf).min(axis=axis)
+
+    def seg_scale(w, idx, size):
+        mx = np.zeros(size)
+        np.maximum.at(mx, idx, w)
+        mn = np.full(size, np.inf)
+        np.minimum.at(mn, idx, w)
         ok = (mx > 0) & np.isfinite(mn)
         prod = np.where(ok, mx * np.where(np.isfinite(mn), mn, 1.0), 1.0)
         return np.where(ok, 1.0 / np.sqrt(prod), 1.0)
 
     for _ in range(passes):
-        r = r * scale_pass(Aw * r[:, None] * s[None, :], axis=1)
-        s = s * scale_pass(Aw * r[:, None] * s[None, :], axis=0)
+        r = r * seg_scale(av * r[rr] * s[cc], rr, m)
+        s = s * seg_scale(av * r[rr] * s[cc], cc, n)
     # snap to powers of two: exactly representable, no rounding injected
     r = np.exp2(np.round(np.log2(np.where(r > 0, r, 1.0))))
     s = np.exp2(np.round(np.log2(np.where(s > 0, s, 1.0))))

@@ -159,9 +159,15 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
     f32_path = (factor_dtype is not None
                 and jnp.dtype(factor_dtype) == jnp.float32
                 ) or (A.dtype == jnp.float32 and factor_dtype is None)
+    from .linalg import CHUNKED_SYRK_MIN_ELEMS, chunked_scaled_syrk_f32
     if ub is not None:
         from .pallas_kernels import scaled_syrk
-        if f32_path:
+        if f32_path and A.size >= CHUNKED_SYRK_MIN_ELEMS:
+            # giant head operands (PDS-06/KEN-11 class) stream the syrk
+            # in column panels: the full-size f32 cast + scaled copy
+            # otherwise OOM the chip as HLO temps
+            M = chunked_scaled_syrk_f32(A, Dt, Ec)
+        elif f32_path:
             # form M wholly in f32 (MXU syrk): with an f32 factor the
             # extra f64 digits of M are discarded anyway, and the f64
             # syrk is the memory+time hog on XL problems (KEN-11)
@@ -173,7 +179,10 @@ def kkt_factor(A, E, D, epsdiag, Q=None, factor_dtype=None,
         # fused Pallas scaled-syrk: forms M directly in f32 on the MXU
         # (falls back to jnp off-TPU / non-tile shapes)
         from .pallas_kernels import scaled_syrk
-        if use_primal_form(m, n, Q is not None):
+        if (use_primal_form(m, n, Q is not None)
+                and A.size >= CHUNKED_SYRK_MIN_ELEMS):
+            M = chunked_scaled_syrk_f32(A, 1.0 / Dc, Ec)
+        elif use_primal_form(m, n, Q is not None):
             M = scaled_syrk(A.astype(jnp.float32),
                             (1.0 / Dc).astype(jnp.float32),
                             Ec.astype(jnp.float32))

@@ -58,21 +58,25 @@ def chunked_matvec(A, v):
     Semantically identical to A @ v (full f64 accuracy — each chunk is a
     true f64 gemm, partials accumulate in f64); bounds the f64-emulation
     split-stack temps to one (m, chunk) slice.  v may be (n,) or (n, k).
+
+    Chunks are read with dynamic_slice INSIDE the scan body: the earlier
+    moveaxis-based stacking materialized a transposed copy of the whole
+    operand as an HLO temp (2.6 GB for PDS-06's head), defeating the
+    memory bound this function exists to provide.
     """
     m, n = A.shape
     c = _chunk_count(n)
     if c is None or A.size < CHUNKED_MATVEC_MIN_ELEMS:
         return A @ v
     nb = n // c
-    Ab = A.reshape(m, nb, c)
-    vb = v.reshape(nb, c, *v.shape[1:])
 
-    def step(acc, ops):
-        Ak, vk = ops
+    def step(acc, k):
+        Ak = jax.lax.dynamic_slice(A, (0, k * c), (m, c))
+        vk = jax.lax.dynamic_slice_in_dim(v, k * c, c, axis=0)
         return acc + Ak @ vk, None
 
     zero = jnp.zeros((m,) + v.shape[1:], jnp.result_type(A, v))
-    out, _ = jax.lax.scan(step, zero, (jnp.moveaxis(Ab, 1, 0), vb))
+    out, _ = jax.lax.scan(step, zero, jnp.arange(nb))
     return out
 
 
@@ -83,13 +87,45 @@ def chunked_rmatvec(A, v):
     if c is None or A.size < CHUNKED_MATVEC_MIN_ELEMS:
         return A.T @ v
     mb = m // c
-    Ab = A.reshape(mb, c, n)
-    vb = v.reshape(mb, c, *v.shape[1:])
 
-    def step(acc, ops):
-        Ak, vk = ops
+    def step(acc, k):
+        Ak = jax.lax.dynamic_slice(A, (k * c, 0), (c, n))
+        vk = jax.lax.dynamic_slice_in_dim(v, k * c, c, axis=0)
         return acc + Ak.T @ vk, None
 
     zero = jnp.zeros((n,) + v.shape[1:], jnp.result_type(A, v))
-    out, _ = jax.lax.scan(step, zero, (Ab, vb))
+    out, _ = jax.lax.scan(step, zero, jnp.arange(mb))
     return out
+
+
+# Above this operand size the f32 normal-matrix assembly streams column
+# panels through a scan as well: a full-size `A.astype(f32)` temp plus
+# the scaled copy inside the syrk is another ~2x sizeof(A)/2 of HLO
+# temps — PDS-06's 11.2k x 28.7k head OOMed the 16 GB chip through
+# exactly these (r5).  Only the two largest corpus instances cross this
+# threshold, so smaller programs keep their cached executables.
+CHUNKED_SYRK_MIN_ELEMS = 150_000_000
+
+
+def chunked_scaled_syrk_f32(A, s, e):
+    """M = A diag(s) A' + diag(e) in f32, streaming column panels.
+
+    A may be f64: each panel is cast to f32 after slicing, so no
+    full-size f32 copy of A is ever materialized."""
+    m, n = A.shape
+    c = _chunk_count(n)
+    if c is None:
+        Af = A.astype(jnp.float32)
+        return (Af * s.astype(jnp.float32)[None, :]) @ Af.T + jnp.diag(
+            e.astype(jnp.float32))
+    nb = n // c
+
+    def step(acc, k):
+        Ak = jax.lax.dynamic_slice(A, (0, k * c), (m, c)).astype(jnp.float32)
+        sk = jax.lax.dynamic_slice_in_dim(s, k * c, c, axis=0).astype(
+            jnp.float32)
+        return acc + (Ak * sk[None, :]) @ Ak.T, None
+
+    M, _ = jax.lax.scan(step, jnp.zeros((m, m), jnp.float32),
+                        jnp.arange(nb))
+    return M + jnp.diag(e.astype(jnp.float32))
