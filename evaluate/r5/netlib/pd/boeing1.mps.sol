@@ -1,0 +1,6 @@
+m = 351,n = 384,nz = 3865
+iterations = 0
+objective  = nan
+golden     = -3.3521357e+02
+seconds    = 411.312
+error 

@@ -375,10 +375,12 @@ def _solve_batched_class(method, key, entries, small_names, small_lps, cfg,
             [(None, canon) for canon in canons], M, N)
         st, x, y, w, z, iters = pbatch.solve_batch_pd(
             jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
-            # batched budget: the class runs until its SLOWEST lane stops,
-            # so one degenerate cycler would hold the whole class hostage
-            # at the full 200k budget; iterlim lanes re-solve per-problem
-            max_iter=cfg.max_iter or 20_000,
+            # batched budget: ONE launch runs the whole class, so it is
+            # capped at 3k pivots to stay under the remote worker's
+            # watchdog (a 30k-pivot vmapped launch crashed the worker,
+            # r5); iterlim lanes re-solve per-problem through the
+            # CHUNKED solve_canon_pd driver, which has no such cap
+            max_iter=min(cfg.max_iter or 20_000, 3_000),
             refresh_every=cfg.refresh_every, seed=cfg.seed)
         c = jnp.asarray(c)
     else:
