@@ -35,6 +35,13 @@ class SolverConfig:
     # corrector with adaptive centering (roughly halves trips);
     # "reference": the hsd.c:138-142 alternating delta=0/1 scheme
     hsd_corrector: str = "mehrotra"
+    # intpt's divergence-based infeasibility certificate (normr>10*normr0,
+    # intpt.c:175-182 — the reference itself labels it "(unreliable)").
+    # On badly-scaled instances (AGG family, GROW*, SCFXM*) roundoff in
+    # the normal-equations path can fake the 10x jump and certify a
+    # reference-optimal problem infeasible; switch off to run those to
+    # the optimal/iteration-limit stop instead.
+    div_detect: bool = True
 
     # KKT / linear-algebra knobs (ldlt.c:27-32)
     epssol: float = 1.0e-6

@@ -561,8 +561,15 @@ def main(argv=None) -> int:
                    choices=("split", "reject"),
                    help="'split' solves the free-variable instances the "
                         "reference rejects; 'reject' is reference parity")
+    p.add_argument("--no-div-detect", action="store_true",
+                   help="disable intpt's divergence-based infeasibility "
+                        "certificate (intpt.c:175-182, reference-marked "
+                        "'(unreliable)'); badly-scaled instances then run "
+                        "to the optimal/iteration-limit stop")
     args = p.parse_args(argv)
     cfg = SolverConfig(free_vars=args.free_vars)
+    if args.no_div_detect:
+        cfg = cfg.with_(div_detect=False)
     if args.precision:
         cfg = cfg.with_(precision=args.precision)
     if args.ipm_eps:

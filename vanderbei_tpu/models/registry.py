@@ -214,7 +214,7 @@ def _solve_intpt(canon: CanonLP, cfg: SolverConfig):
             refine_tol=max(cfg.refine_tol, 1e-4) if sprint else cfg.refine_tol,
             max_refine=cfg.max_refine, trace=trace,
             factor_dtype=factor_dtype, pause_gap=pause,
-            div_detect=not sprint,
+            div_detect=(not sprint) and cfg.div_detect,
             # gap-stop floor: under geometric+norm equilibration the
             # scaled objective sits near unit scale (often below 1), so
             # floor at 1e-2 to keep the stop at least as sharp as the
