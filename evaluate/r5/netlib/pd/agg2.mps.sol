@@ -2,5 +2,5 @@ m = 517,n = 302,nz = 4515
 iterations = 0
 objective  = nan
 golden     = -2.0239252e+07
-seconds    = 211.621
+seconds    = 217.093
 error 
