@@ -375,12 +375,17 @@ def _solve_batched_class(method, key, entries, small_names, small_lps, cfg,
             [(None, canon) for canon in canons], M, N)
         st, x, y, w, z, iters = pbatch.solve_batch_pd(
             jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
-            # batched budget: ONE launch runs the whole class, so it is
-            # capped at 3k pivots to stay under the remote worker's
-            # watchdog (a 30k-pivot vmapped launch crashed the worker,
-            # r5); iterlim lanes re-solve per-problem through the
-            # CHUNKED solve_canon_pd driver, which has no such cap
-            max_iter=min(cfg.max_iter or 20_000, 3_000),
+            # batched budget: ONE launch runs the whole class, so the
+            # pivot cap scales inversely with the class dim to stay under
+            # the remote worker's watchdog (a 3k-pivot launch on the
+            # (1024,512) class ran ~217s and crashed the worker, r5 —
+            # pivots on a vmapped dense B^-1 are launch-latency-bound at
+            # ~14ms/pivot/1024-dim); iterlim lanes re-solve per-problem
+            # through the CHUNKED solve_canon_pd driver, which has no
+            # such cap
+            max_iter=min(cfg.max_iter or 20_000,
+                         3_000 if M <= 512 else
+                         1_200 if M <= 1024 else 400),
             refresh_every=cfg.refresh_every, seed=cfg.seed)
         c = jnp.asarray(c)
     else:
