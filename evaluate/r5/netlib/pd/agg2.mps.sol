@@ -1,6 +1,6 @@
 m = 517,n = 302,nz = 4515
-iterations = 0
-objective  = nan
+iterations = 270
+objective  = -2.0239252e+07
 golden     = -2.0239252e+07
-seconds    = 217.093
-error 
+seconds    = 38.891
+optimal solution 

@@ -1,6 +1,6 @@
 m = 517,n = 302,nz = 4531
-iterations = 0
-objective  = nan
+iterations = 267
+objective  = 1.0312116e+07
 golden     = 1.0312116e+07
-seconds    = 217.1
-error 
+seconds    = 29.946
+optimal solution 

@@ -1,6 +1,6 @@
 m = 306,n = 472,nz = 2659
-iterations = 0
-objective  = nan
+iterations = 1486
+objective  = -1.5862802e+02
 golden     = -1.5862802e+02
-seconds    = 217.073
-error 
+seconds    = 27.326
+optimal solution 

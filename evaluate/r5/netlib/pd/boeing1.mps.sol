@@ -1,6 +1,6 @@
 m = 351,n = 384,nz = 3865
-iterations = 0
-objective  = nan
+iterations = 728
+objective  = -3.3521357e+02
 golden     = -3.3521357e+02
-seconds    = 217.086
-error 
+seconds    = 43.739
+optimal solution 

@@ -1,6 +1,6 @@
 m = 141,n = 301,nz = 2633
-iterations = 0
-objective  = nan
+iterations = 282
+objective  = -4.7787812e+07
 golden     = -4.7787812e+07
-seconds    = 217.065
-error 
+seconds    = 19.559
+optimal solution 

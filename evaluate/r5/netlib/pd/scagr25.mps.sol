@@ -1,6 +1,6 @@
 m = 472,n = 500,nz = 2029
-iterations = 0
-objective  = nan
+iterations = 1252
+objective  = -1.4753433e+07
 golden     = -1.4753433e+07
-seconds    = 217.038
-error 
+seconds    = 22.545
+optimal solution 

@@ -1,6 +1,6 @@
 m = 331,n = 457,nz = 2612
-iterations = 0
-objective  = nan
+iterations = 604
+objective  = 1.8416759e+04
 golden     = 1.8416759e+04
-seconds    = 217.055
-error 
+seconds    = 24.207
+optimal solution 

@@ -1,6 +1,6 @@
 m = 357,n = 467,nz = 3857
-iterations = 0
-objective  = nan
+iterations = 1064
+objective  = -2.5126695e+02
 golden     = -2.5126695e+02
-seconds    = 217.08
-error 
+seconds    = 22.291
+optimal solution 
